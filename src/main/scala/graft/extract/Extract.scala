@@ -1,0 +1,130 @@
+package graft.extract
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Span-pipeline scalar functions + the interleaved-document
+  * extraction operator.
+  *
+  * Reference semantics (see SURVEY.md §2.8, §3.2):
+  *  - E-str4 normalize: report_info_collection.py:42-49
+  *  - E-str6 first-number ladder: report_info_collection.py:97-120
+  *  - F7 keyword predicate: report_info_collection.py:167-174
+  *  - E-arr2 parent category: report_info_collection.py:122-139,188-190
+  *  - span order contract: report_info_collection.py:152-197 — the
+  *    (page, table, row) lexicographic position is the spans array's
+  *    `offset` field; extraction must respect it.
+  *
+  * All scalar pieces are built-in expressions (codegen'd, no UDFs).
+  * The per-document "nearest prior category span" scan is a window
+  * over posexplode(spans) partitioned by doc_id — one hash shuffle on
+  * doc_id, no global sort, which is the scalable formulation (each
+  * doc's spans are bounded; docs are the parallelism unit).
+  */
+object Extract {
+
+  val TargetKeyword = "其中：数据资源"
+  val Categories: Seq[String] = Seq("存货", "无形资产", "开发支出")
+  /** Sentinel strings treated as empty/zero (F8) — union of the
+    * reference's five slightly-different site-local sets
+    * (report_info_collection.py:66,456-458,534,657,680).
+    */
+  val Sentinels: Seq[String] = Seq("", "N/A", "空值", "-", "nan", "None")
+
+  /** E-str4: drop newlines, half→full-width colon, strip all
+    * whitespace.
+    */
+  def normalizeText(c: Column): Column =
+    regexp_replace(translate(c, ":", "："), "\\s+", "")
+
+  def normalizeTextScala(s: String): String =
+    s.replace(":", "：").replaceAll("\\s+", "")
+
+  /** E-str6: ordered regex ladder, first match wins:
+    * grouped-decimal-2dp → grouped-decimal → grouped-int →
+    * plain-decimal → plain-int. Null when nothing matches.
+    */
+  private val LadderPatterns = Seq(
+    "\\d{1,3}(,\\d{3})+\\.\\d{2}",
+    "\\d{1,3}(,\\d{3})+\\.\\d+",
+    "\\d{1,3}(,\\d{3})+",
+    "\\d+\\.\\d+",
+    "\\d+")
+
+  def extractFirstNumber(c: Column): Column =
+    coalesce(LadderPatterns.map(p => nullif(regexp_extract(c, p, 0), lit(""))): _*)
+
+  def extractFirstNumberScala(s: String): Option[String] =
+    LadderPatterns.view
+      .map(p => p.r.findFirstIn(s))
+      .collectFirst { case Some(m) => m }
+
+  /** E-str8: comma/space-strip then exact decimal parse. try_cast:
+    * Spark 4 runs ANSI mode, and sentinel junk must yield null, not
+    * an error (the reference's float() is wrapped in try/except).
+    */
+  def parseAmount(c: Column): Column =
+    regexp_replace(c, "[,\\s]", "").try_cast("decimal(20,2)")
+
+  /** F8: sentinel → '0', else unchanged. */
+  def cleanSentinel(c: Column): Column =
+    when(c.isNull || c.isin(Sentinels: _*), lit("0")).otherwise(c)
+
+  /** The interleaved-docs extraction: docs(doc_id, spans) → long rows
+    * (doc_id, item, amount_str, method, offset).
+    *
+    * Walk the spans in offset order; a text span whose normalized
+    * text contains the target keyword yields a candidate; its amount
+    * is the first number in the span's own text after the keyword
+    * (the reference scans the table row rightward from the keyword
+    * cell — here cells of one row are one span, '|'-joined); its item
+    * is the nearest PRIOR text span that names a known category
+    * (reference: nearest prior non-empty row). Rows whose parent
+    * category can't be resolved are dropped (reference aborts that
+    * item, report_info_collection.py:188-190).
+    */
+  def extractLongRows(docs: DataFrame): DataFrame = {
+    val exploded = docs
+      .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))
+      .select(col("doc_id"), col("pos"),
+        col("span.kind").as("kind"),
+        normalizeText(col("span.text")).as("ntext"),
+        col("span.offset").as("offset"))
+    val w = Window.partitionBy("doc_id").orderBy("offset")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val catMarker = Extract.Categories.foldRight(lit(null).cast("string")) { (c, acc) =>
+      when(col("kind") === "text" && col("ntext").contains(c) &&
+        !col("ntext").contains(TargetKeyword), lit(c)).otherwise(acc)
+    }
+    exploded
+      .withColumn("cat_marker", catMarker)
+      .withColumn("parent_cat", last("cat_marker", ignoreNulls = true).over(w))
+      .where(col("kind") === "text" && col("ntext").contains(TargetKeyword))
+      .where(col("parent_cat").isNotNull)
+      .select(
+        col("doc_id"),
+        col("parent_cat").as("item"),
+        coalesce(
+          extractFirstNumber(substring_index(col("ntext"), TargetKeyword, -1)),
+          lit("0")).as("amount_str"),
+        lit("table_scan").as("method"),
+        col("offset"))
+  }
+
+  /** J5: dense long output — every (doc, category) pair present,
+    * amount '0', flag false when extraction found nothing
+    * (report_info_collection.py:285-310).
+    */
+  def denseLongRows(docIds: DataFrame, longRows: DataFrame): DataFrame = {
+    val spark = docIds.sparkSession
+    import spark.implicits._
+    val cats = Categories.zipWithIndex.toDF("item", "item_rank")
+    val dense = docIds.select(col("doc_id")).distinct().crossJoin(broadcast(cats))
+    dense.join(longRows, Seq("doc_id", "item"), "left_outer")
+      .select(
+        col("doc_id"), col("item"), col("item_rank"),
+        cleanSentinel(col("amount_str")).as("amount_str"),
+        col("amount_str").isNotNull.as("has_data_resource"))
+  }
+}

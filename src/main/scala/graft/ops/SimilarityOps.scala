@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * All vectors are quantized to integers (×1000, round-to-nearest)
+  * before any arithmetic: dot products and squared norms are then
+  * EXACT int64 math, thresholds are exact cross-multiplied rational
+  * comparisons, and the only floating op (cosine = dot/sqrt(na·nb))
+  * is a single correctly-rounded IEEE op sequence — bit-identical in
+  * any engine. This makes results reproducible across Spark runs,
+  * partitionings, AND the DuckDB oracle, which a float-accumulation
+  * dot product is not (summation order).
+  *
+  * Scale notes: brute force is a broadcast of the (small) query set
+  * against the candidate table — a broadcast nested-loop the optimizer
+  * plans without shuffling the big side; the IVF variant adds an
+  * equi-join key (cluster/label) so the join becomes a shuffled hash
+  * join on the bucket id, cutting candidates by the bucket fan-out.
+  * Top-k per query is a window row_number over (query_id), which AQE
+  * handles without a global sort.
+  */
+object SimilarityOps {
+
+  /** array<float> → array<long>, elementwise round(x·1000). */
+  def quantize(vec: Column): Column =
+    transform(vec, e => round(e.cast("double") * 1000).cast("long"))
+
+  /** Exact int64 dot product of two equal-length long arrays. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  def normSqQ(a: Column): Column = dotQ(a, a)
+
+  /** Cosine from exact integer dot/norms: one division + one sqrt on
+    * exact int64 inputs (< 2^53, so the int→double casts are exact).
+    */
+  def cosineQ(dot: Column, na: Column, nb: Column): Column =
+    dot.cast("double") / sqrt((na * nb).cast("double"))
+
+  private def quantized(df: DataFrame, idCol: String, vecCol: String,
+                        extra: Seq[String] = Nil): DataFrame =
+    df.select((Seq(col(idCol)) ++ extra.map(col) :+ quantize(col(vecCol)).as("qv")): _*)
+      .withColumn("nsq", normSqQ(col("qv")))
+
+  /** Brute-force cosine top-k: for each row of `queries`, the k
+    * nearest `candidates` by cosine (desc), ties broken by candidate
+    * id (asc); self-pairs excluded when ids collide.
+    * Output: (query_id, neighbor_id, rank, cos_milli6) where
+    * cos_milli6 = floor(cosine·10^6) — exact integer output.
+    */
+  def annBruteForce(queries: DataFrame, candidates: DataFrame,
+                    idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = quantized(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("qv").as("q_qv"), col("nsq").as("q_nsq"))
+    val c = quantized(candidates, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("qv").as("c_qv"), col("nsq").as("c_nsq"))
+    topK(c.crossJoin(broadcast(q)), k)
+  }
+
+  /** IVF-style ANN: candidates are restricted to the query's bucket
+    * (here: the precomputed cluster label — at scale, the nearest
+    * coarse centroid id). Same output shape as [[annBruteForce]].
+    */
+  def annIvf(queries: DataFrame, candidates: DataFrame,
+             idCol: String, vecCol: String, bucketCol: String, k: Int): DataFrame = {
+    val q = quantized(queries, idCol, vecCol, Seq(bucketCol))
+      .select(col(idCol).as("query_id"), col(bucketCol).as("__bkt"),
+        col("qv").as("q_qv"), col("nsq").as("q_nsq"))
+    val c = quantized(candidates, idCol, vecCol, Seq(bucketCol))
+      .select(col(idCol).as("neighbor_id"), col(bucketCol).as("__bkt"),
+        col("qv").as("c_qv"), col("nsq").as("c_nsq"))
+    topK(c.join(broadcast(q), Seq("__bkt")), k)
+  }
+
+  private def topK(joined: DataFrame, k: Int): DataFrame = {
+    val scored = joined
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", dotQ(col("q_qv"), col("c_qv")))
+      .withColumn("cos", cosineQ(col("dot"), col("q_nsq"), col("c_nsq")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+        floor(col("cos") * 1e6).cast("long").as("cos_micro"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: cosine ≥ num/den, decided
+    * in EXACT integer arithmetic (den²·dot² ≥ num²·na·nb ∧ dot > 0),
+    * blocked by `bucketCol` (cluster label ≙ IVF cell) so the pair
+    * join is an equi-join, not a cross join.
+    * Output: (id_a, id_b, cos_micro), id_a < id_b.
+    */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            bucketCol: String, num: Long, den: Long): DataFrame = {
+    val qd = quantized(df, idCol, vecCol, Seq(bucketCol))
+    val a = qd.select(col(idCol).as("id_a"), col(bucketCol).as("__bkt"),
+      col("qv").as("a_qv"), col("nsq").as("a_nsq"))
+    val b = qd.select(col(idCol).as("id_b"), col(bucketCol).as("__bkt"),
+      col("qv").as("b_qv"), col("nsq").as("b_nsq"))
+    a.join(b, Seq("__bkt"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("dot", dotQ(col("a_qv"), col("b_qv")))
+      .where(col("dot") > 0 &&
+        col("dot") * col("dot") * (den * den) >= col("a_nsq") * col("b_nsq") * (num * num))
+      .select(col("id_a"), col("id_b"),
+        floor(cosineQ(col("dot"), col("a_nsq"), col("b_nsq")) * 1e6).cast("long").as("cos_micro"))
+  }
+}

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * language ID, quality scoring, token counting, and winnowing
+  * fingerprints — all pure column expressions (whole-stage codegen,
+  * no UDFs), deterministic, and engine-portable (the same semantics
+  * are expressible in ANSI SQL for the DuckDB oracle: only md5 /
+  * regexp / integer arithmetic, no engine-specific hashing).
+  *
+  * Scale notes (100 TB design point): every operator here is a
+  * narrow map over `documents` except the winnow window, which
+  * shuffles by doc_id only (each document's grams stay in one
+  * partition; partition count follows spark.sql.shuffle.partitions).
+  */
+object TextOps {
+
+  /** Word tokens: maximal [a-z]+ runs, lower-cased first. */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
+
+  /** Tiny per-language stopword lists for the stopword-hit
+    * language-ID heuristic. Deterministic tie-break: first match in
+    * `langPriority` order wins.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "fr" -> Seq("le", "les", "et", "est", "une"),
+    "zh" -> Seq("de0", "shi0", "le0", "zai0", "he0")) // pinyin-ish placeholders
+
+  val langPriority: Seq[String] = Seq("en", "de", "es", "fr", "zh")
+
+  def langScore(toks: Column, lang: String): Column =
+    stopwords(lang).map(w => array_contains(toks, w).cast("int")).reduce(_ + _)
+
+  /** Language ID over a text column: integer stopword-hit scores per
+    * language, arg-max with fixed priority order.
+    */
+  def langId(df: DataFrame, text: Column): DataFrame = {
+    val withToks = df.withColumn("__toks", tokens(text))
+    val scored = langPriority.foldLeft(withToks) { (d, l) =>
+      d.withColumn(s"score_$l", langScore(col("__toks"), l).cast("long"))
+    }
+    val scoreCols = langPriority.map(l => col(s"score_$l"))
+    val best = greatest(scoreCols: _*)
+    val pred = langPriority.foldRight(lit(langPriority.last)) { (l, acc) =>
+      when(col(s"score_$l") === best, lit(l)).otherwise(acc)
+    }
+    scored.withColumn("pred_lang", pred).drop("__toks")
+  }
+
+  /** Quality scoring: integer counts + milli-scaled ratios (floor of
+    * an exactly-computed double ratio of small integers, so the
+    * result is bit-reproducible across engines).
+    */
+  def quality(df: DataFrame, text: Column): DataFrame = {
+    val toks = tokens(text)
+    val allStops = stopwords.values.flatten.toSeq.distinct.sorted
+    val stopCnt = allStops.map(w => array_contains(toks, w).cast("int")).reduce(_ + _)
+    df.withColumn("n_chars_m", length(text).cast("long"))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_distinct_tokens", size(array_distinct(toks)).cast("long"))
+      .withColumn("n_stopword_kinds", stopCnt.cast("long"))
+      .withColumn(
+        "stop_ratio_milli",
+        when(size(toks) > 0,
+          floor(lit(1000.0) * stopCnt.cast("double") / size(toks).cast("double")))
+          .otherwise(lit(0L)))
+      .withColumn(
+        "avg_token_len_milli",
+        when(size(toks) > 0,
+          floor(lit(1000.0) *
+            aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+            size(toks).cast("double")))
+          .otherwise(lit(0L)))
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish regex
+    * segmentation (letter runs | digit runs | single other glyph).
+    */
+  def tokenCounts(df: DataFrame, text: Column): DataFrame =
+    df.withColumn("n_ws_tokens",
+        size(regexp_extract_all(text, lit("\\S+"), lit(0))).cast("long"))
+      .withColumn("n_bpe_tokens",
+        size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).cast("long"))
+
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    * k-gram hashes, sliding-window minima, distinct selected hashes.
+    * Hash = md5 hex of the k-gram (lexicographic min of a uniform hex
+    * hash ≙ numeric min; identical in any engine with md5).
+    *
+    * Scale: the window is per-document (partitionBy doc_id), so the
+    * shuffle is one hash-partition pass; no global ordering.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8, w: Int = 5): DataFrame = {
+    val nGrams = length(col("__t")) - (k - 1) // #k-grams in the doc
+    val grams = df
+      .select(col(idCol), col(textCol).as("__t"))
+      .where(length(col("__t")) >= k + w - 1)
+      .select(col(idCol), col("__t"), nGrams.as("__ng"),
+        explode(sequence(lit(1), nGrams)).as("pos"))
+      .select(col(idCol), col("pos"), col("__ng"),
+        md5(expr(s"substring(__t, pos, $k)")).as("gram_hash"))
+    val win = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("win_min", min("gram_hash").over(win))
+      .where(col("pos") <= col("__ng") - (w - 1)) // only full windows
+      .select(col(idCol), col("win_min").as("fingerprint"))
+      .distinct()
+  }
+}

@@ -1,0 +1,236 @@
+package graft.queries
+
+import graft.Tables
+import graft.extract.Extract
+import graft.report.Report
+import graft.sched.Scheduler
+import graft.seen.SeenFilter
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Crawl-pipeline relational semantics cross-checked against DuckDB.
+  *
+  * The crawl's own fixtures live outside the sfDir corpus, so these
+  * queries derive announcement-shaped inputs from the generic tables
+  * with engine-portable expressions (md5 / ascii / modulo — identical
+  * in Spark and DuckDB), then run the REAL library operators
+  * (Report.postprocessStage1, SeenFilter.firstWins,
+  * Scheduler.assignVirtualTicks, Report.widen) on the Spark side and
+  * a pure-SQL restatement on the oracle side. The stateful scheduler
+  * is thereby checked against its closed form; the end-to-end frontier
+  * loop is checked in ScalaTest (rows-only here).
+  */
+object CrawlQueries {
+  type QFn = (SparkSession, String) => DataFrame
+
+  val TargetYears = Seq(2023, 2024)
+
+  /** Announcement derivation shared by crawl_postprocess. */
+  def deriveAnnouncements(s: SparkSession, d: String): DataFrame = {
+    val m = md5(col("o_orderkey").cast("string"))
+    val b = ascii(substring(m, 1, 1)) % 6
+    val c6 = ((col("o_custkey") * 37) % 1000000).cast("string")
+    Tables.load(s, d, "orders").select(
+      col("o_orderkey").as("arrival_seq"),
+      when(b === 0, lit("2024年年度报告"))
+        .when(b === 1, lit("2023年年度报告摘要"))
+        .when(b === 2, lit("2024年年度报告（英文版）"))
+        .when(b === 3, lit("2019年年度报告"))
+        .when(b === 4, lit("年度报告"))
+        .otherwise(concat(lit("第"), (col("o_orderkey") % 9 + 1).cast("string"), lit("季度报告")))
+        .as("title"),
+      when(ascii(substring(m, 2, 1)) % 7 === 0, concat(lit("X"), c6)).otherwise(c6)
+        .as("sec_code_raw"),
+      concat(lit("公司"), col("o_custkey").cast("string")).as("company"),
+      to_date(col("o_orderdate")).as("report_date"),
+      concat(lit("/final/"), m, lit(".pdf")).as("pdf_url"))
+  }
+
+  val entries: Map[String, QFn] = Map(
+    // Stage-1 postprocess: F1+F2 filters, code canon, A2+A3 windows.
+    "crawl_postprocess" -> ((s, d) =>
+      Report.postprocessStage1(deriveAnnouncements(s, d), TargetYears)),
+
+    // A1: first-wins URL-seen semantics on a dup-heavy stream.
+    "crawl_seen_firstwins" -> ((s, d) => {
+      val k = get_json_object(col("props"), "$.k").try_cast("long")
+      val stream = Tables.load(s, d, "events").select(
+        col("event_id"),
+        concat(lit("/doc/"), (col("user_id") % 300).cast("string"),
+          lit("/"), (k % 20).cast("string")).as("url"))
+      SeenFilter.firstWins(stream, Seq("url"), "event_id")
+        .select(col("url"), col("event_id").as("first_seen"))
+    }),
+
+    // ST1: token-bucket politeness plan — the stateful
+    // flatMapGroups scheduler vs its closed-form window oracle.
+    "crawl_politeness_plan" -> ((s, d) => {
+      import s.implicits._
+      val k = get_json_object(col("props"), "$.k").try_cast("long")
+      val stream = Tables.load(s, d, "events").select(
+        col("event_id"),
+        concat(lit("/doc/"), (col("user_id") % 300).cast("string"),
+          lit("/"), (k % 20).cast("string")).as("url"),
+        concat(lit("h"), ((col("user_id") % 300) % 5).cast("string")).as("host"))
+      val kept = SeenFilter.firstWins(stream, Seq("url"), "event_id")
+      val in = kept.select(col("url"), col("host"),
+        col("event_id").as("priority"), lit("").as("tiebreak")).as[Scheduler.SchedIn]
+      // saltCount=1 so the closed form is the pure per-host queue.
+      Scheduler.assignVirtualTicks(in, saltCount = 1, tokensPerTick = 3, tickMs = 300)
+        .toDF()
+        .select(col("url"), col("host"), col("rank").cast("long").as("host_rank"),
+          col("tick_index"), col("scheduled_ms"))
+    }),
+
+    // A4+A5+J3+F8: first-positive dedup, pivot, flag join, sentinels.
+    "crawl_wide_report" -> ((s, d) => {
+      val longRows = deriveLongRows(s, d)
+      Report.widen(longRows)
+        .select(col("doc_id"), col("存货"), col("无形资产"), col("开发支出"),
+          col("has_data_resource"))
+    }),
+
+    // Multimodal plumbing: opaque media refs + deterministic
+    // metadata "decode" (the image libs are stubbed; the schema,
+    // batching and partition shape are the real thing).
+    "mm_media_meta" -> ((s, d) =>
+      graft.ops.MultimodalOps.decodeMeta(
+        graft.ops.MultimodalOps.deriveMedia(Tables.load(s, d, "documents")))))
+
+  /** Long-row derivation for crawl_wide_report: 3 categories × 2
+    * arrival reps per doc, amounts mixing sentinels, grouped decimals
+    * and plain ints — exercises A4's first-positive-else-first rule.
+    */
+  def deriveLongRows(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.load(s, d, "documents").select(col("doc_id"))
+      .crossJoin(spark_kj(s))
+    val m = md5(concat(col("doc_id").cast("string"), lit(":"),
+      col("k").cast("string"), lit(":"), col("j").cast("string")))
+    val v = ascii(substring(m, 1, 1)) % 8
+    base.select(
+      col("doc_id"),
+      when(col("k") === 0, lit("存货")).when(col("k") === 1, lit("无形资产"))
+        .otherwise(lit("开发支出")).as("item"),
+      when(v === 0, lit("N/A")).when(v === 1, lit("-")).when(v === 2, lit("0"))
+        .when(v === 3, concat((ascii(substring(m, 2, 1)) * 7 % 900 + 100).cast("string"),
+          lit(","), lpad((ascii(substring(m, 3, 1)) * 13 % 1000).cast("string"), 3, "0"),
+          lit(".25")))
+        .when(v === 4, lit("空值"))
+        .otherwise((ascii(substring(m, 4, 1)) % 500).cast("string"))
+        .as("amount_str"),
+      (v >= 3 && v =!= 4).as("has_flag"),
+      (col("k") * 2 + col("j")).as("seq"))
+  }
+
+  private def spark_kj(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq((0, 0), (0, 1), (1, 0), (1, 1), (2, 0), (2, 1)).toDF("k", "j")
+  }
+
+  private val streamSql =
+    """SELECT event_id,
+      | concat('/doc/', CAST(user_id % 300 AS VARCHAR), '/',
+      |        CAST(CAST(regexp_extract(props, '[0-9]+') AS BIGINT) % 20 AS VARCHAR)) AS url,
+      | concat('h', CAST((user_id % 300) % 5 AS VARCHAR)) AS host
+      |FROM events""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "crawl_postprocess" ->
+      """WITH ann AS (
+        | SELECT o_orderkey AS arrival_seq, md5(CAST(o_orderkey AS VARCHAR)) AS m,
+        |  CAST((o_custkey * 37) % 1000000 AS VARCHAR) AS c6,
+        |  concat('公司', CAST(o_custkey AS VARCHAR)) AS company,
+        |  CAST(o_orderdate AS DATE) AS report_date
+        | FROM orders),
+        |ann2 AS (
+        | SELECT arrival_seq, company, report_date,
+        |  CASE (ascii(substr(m,1,1)) % 6)
+        |   WHEN 0 THEN '2024年年度报告' WHEN 1 THEN '2023年年度报告摘要'
+        |   WHEN 2 THEN '2024年年度报告（英文版）' WHEN 3 THEN '2019年年度报告'
+        |   WHEN 4 THEN '年度报告'
+        |   ELSE concat('第', CAST(arrival_seq % 9 + 1 AS VARCHAR), '季度报告') END AS title,
+        |  CASE WHEN ascii(substr(m,2,1)) % 7 = 0 THEN concat('X', c6) ELSE c6 END AS sec_code_raw,
+        |  concat('/final/', m, '.pdf') AS pdf_url
+        | FROM ann),
+        |filtered AS (
+        | SELECT *,
+        |  CASE WHEN regexp_matches(sec_code_raw, '^\d+$') THEN lpad(sec_code_raw, 6, '0')
+        |       ELSE sec_code_raw END AS code6
+        | FROM ann2
+        | WHERE (regexp_matches(title, '2023|2024') OR NOT regexp_matches(title, '\d'))
+        |  AND NOT contains(title, '摘要') AND NOT contains(title, '英文版')),
+        |coded AS (
+        | SELECT arrival_seq, company, title, report_date, pdf_url,
+        |  CASE WHEN substr(code6,1,2) IN ('60','68') THEN concat(code6,'.SH')
+        |       WHEN substr(code6,1,2) IN ('00','30') THEN concat(code6,'.SZ')
+        |       WHEN substr(code6,1,2) IN ('83','87','92','43') THEN concat(code6,'.BJ')
+        |       ELSE code6 END AS sec_code
+        | FROM filtered),
+        |a2 AS (SELECT *, row_number() OVER (PARTITION BY sec_code, company, title ORDER BY arrival_seq) AS rn FROM coded),
+        |a3 AS (SELECT *, row_number() OVER (PARTITION BY sec_code ORDER BY report_date DESC NULLS LAST, arrival_seq) AS rn2
+        |       FROM a2 WHERE rn = 1)
+        |SELECT sec_code, company, title, report_date, pdf_url FROM a3 WHERE rn2 = 1""".stripMargin,
+
+    "crawl_seen_firstwins" ->
+      s"""WITH stream AS ($streamSql)
+        |SELECT url, event_id AS first_seen FROM (
+        | SELECT url, event_id, row_number() OVER (PARTITION BY url ORDER BY event_id) AS rn
+        | FROM stream) WHERE rn = 1""".stripMargin,
+
+    "crawl_politeness_plan" ->
+      s"""WITH stream AS ($streamSql),
+        |kept AS (
+        | SELECT url, host, event_id AS priority FROM (
+        |  SELECT url, host, event_id, row_number() OVER (PARTITION BY url ORDER BY event_id) AS rn
+        |  FROM stream) WHERE rn = 1),
+        |ranked AS (
+        | SELECT url, host,
+        |  row_number() OVER (PARTITION BY host ORDER BY priority, url) AS host_rank
+        | FROM kept)
+        |SELECT url, host, CAST(host_rank AS BIGINT) AS host_rank,
+        | CAST((host_rank - 1) // 3 AS BIGINT) AS tick_index,
+        | CAST((host_rank - 1) // 3 * 300 AS BIGINT) AS scheduled_ms
+        |FROM ranked""".stripMargin,
+
+    "crawl_wide_report" ->
+      """WITH base AS (
+        | SELECT doc_id, k, j,
+        |  md5(concat(CAST(doc_id AS VARCHAR), ':', CAST(k AS VARCHAR), ':', CAST(j AS VARCHAR))) AS m
+        | FROM documents, (SELECT unnest([0,1,2]) AS k), (SELECT unnest([0,1]) AS j)),
+        |lr AS (
+        | SELECT doc_id,
+        |  CASE k WHEN 0 THEN '存货' WHEN 1 THEN '无形资产' ELSE '开发支出' END AS item,
+        |  CASE (ascii(substr(m,1,1)) % 8)
+        |   WHEN 0 THEN 'N/A' WHEN 1 THEN '-' WHEN 2 THEN '0'
+        |   WHEN 3 THEN concat(CAST(ascii(substr(m,2,1)) * 7 % 900 + 100 AS VARCHAR), ',',
+        |                      lpad(CAST(ascii(substr(m,3,1)) * 13 % 1000 AS VARCHAR), 3, '0'), '.25')
+        |   WHEN 4 THEN '空值'
+        |   ELSE CAST(ascii(substr(m,4,1)) % 500 AS VARCHAR) END AS amount_str,
+        |  (ascii(substr(m,1,1)) % 8 >= 3 AND ascii(substr(m,1,1)) % 8 != 4) AS has_flag,
+        |  k * 2 + j AS seq
+        | FROM base),
+        |a4 AS (
+        | SELECT * FROM (
+        |  SELECT doc_id, item, amount_str,
+        |   row_number() OVER (PARTITION BY doc_id, item
+        |    ORDER BY (TRY_CAST(regexp_replace(amount_str, '[,\s]', '', 'g') AS DECIMAL(20,2)) > 0) DESC NULLS LAST,
+        |             seq) AS rn
+        |  FROM lr) WHERE rn = 1),
+        |clean AS (
+        | SELECT doc_id, item,
+        |  CASE WHEN amount_str IS NULL OR amount_str IN ('', 'N/A', '空值', '-', 'nan', 'None')
+        |       THEN '0' ELSE amount_str END AS amt
+        | FROM a4),
+        |wide AS (
+        | SELECT doc_id,
+        |  max(CASE WHEN item = '存货' THEN amt END) AS "存货",
+        |  max(CASE WHEN item = '无形资产' THEN amt END) AS "无形资产",
+        |  max(CASE WHEN item = '开发支出' THEN amt END) AS "开发支出"
+        | FROM clean GROUP BY doc_id),
+        |flags AS (SELECT doc_id, CAST(max(CAST(has_flag AS INT)) AS BOOLEAN) AS has_data_resource
+        |          FROM lr GROUP BY doc_id)
+        |SELECT wide.doc_id, "存货", "无形资产", "开发支出", has_data_resource
+        |FROM wide JOIN flags ON wide.doc_id = flags.doc_id""".stripMargin,
+
+    "mm_media_meta" -> graft.ops.MultimodalOps.oracleSql)
+}

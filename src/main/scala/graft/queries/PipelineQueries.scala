@@ -1,0 +1,209 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{DedupOps, SimilarityOps, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators (dedup / similarity / text
+  * analysis / multimodal plumbing) over the `documents` and
+  * `embeddings` tables, each with a DuckDB oracle.
+  *
+  * Oracle-portability design: all hashing is md5 (bit-identical in
+  * both engines); all similarity thresholds are exact integer
+  * cross-multiplications; cosine is computed from exact int64
+  * dot/norms with a single IEEE division+sqrt, so even the double
+  * column hashes identically.
+  */
+object PipelineQueries {
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+  private def emb(s: SparkSession, d: String) = Tables.load(s, d, "embeddings")
+
+  /** Shared DuckDB SQL fragments (keep in sync with the ops). */
+  private val tokSql = "regexp_extract_all(lower(text), '[a-z]+')"
+  private val quantSql =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT))"
+  private def dotSql(a: String, b: String) =
+    s"(SELECT sum($a[i]*$b[i]) FROM generate_series(1, 64) t(i))"
+
+  val entries: Map[String, QFn] = Map(
+    "dedup_exact" -> ((s, d) =>
+      DedupOps.exact(docs(s, d), "doc_id", "text")),
+
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      DedupOps.ngramJaccardPairs(docs(s, d), "doc_id", "text", n = 3, num = 13, den = 20)),
+
+    "dedup_minhash_lsh" -> ((s, d) =>
+      DedupOps.minhashLshPairs(docs(s, d), "doc_id", "text", n = 3, bands = 4, rows = 4)),
+
+    "dedup_simhash" -> ((s, d) =>
+      DedupOps.simhash(docs(s, d), "doc_id", "text")),
+
+    "dedup_embed_cosine" -> ((s, d) =>
+      SimilarityOps.embeddingNearDupPairs(emb(s, d), "vec_id", "embedding", "label",
+        num = 2, den = 5)),
+
+    "ann_bruteforce_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      SimilarityOps.annBruteForce(e.where(col("vec_id") % 50 === 0), e,
+        "vec_id", "embedding", k = 5)
+    }),
+
+    "ann_ivf_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      SimilarityOps.annIvf(e.where(col("vec_id") % 50 === 0), e,
+        "vec_id", "embedding", "label", k = 5)
+    }),
+
+    "text_langid" -> ((s, d) =>
+      TextOps.langId(docs(s, d), col("text"))
+        .select("doc_id", "score_en", "score_de", "score_es", "score_fr", "score_zh",
+          "pred_lang")),
+
+    "text_quality" -> ((s, d) =>
+      TextOps.quality(docs(s, d), col("text"))
+        .select("doc_id", "n_chars_m", "n_tokens", "n_distinct_tokens",
+          "n_stopword_kinds", "stop_ratio_milli", "avg_token_len_milli")),
+
+    "text_tokens" -> ((s, d) =>
+      TextOps.tokenCounts(docs(s, d), col("text")).select("doc_id", "n_ws_tokens", "n_bpe_tokens")),
+
+    "text_winnow_fingerprint" -> ((s, d) =>
+      TextOps.winnowFingerprints(docs(s, d), "doc_id", "text")))
+
+  private def langScoreSql(l: String): String =
+    TextOps.stopwords(l).map(w => s"CAST(list_contains(toks, '$w') AS INT)").mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH sh AS (
+        | SELECT DISTINCT doc_id, substring(text, i, 3) AS shingle
+        | FROM (SELECT doc_id, text, unnest(generate_series(1, length(text)-2)) AS i
+        |       FROM documents WHERE length(text) >= 3)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |shared AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        | GROUP BY a.doc_id, b.doc_id)
+        |SELECT id_a, id_b, shared, x.n AS size_a, y.n AS size_b
+        |FROM shared JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+        |WHERE shared * 20 >= (x.n + y.n - shared) * 13""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      """WITH sh AS (
+        | SELECT DISTINCT doc_id, substring(text, i, 3) AS shingle
+        | FROM (SELECT doc_id, text, unnest(generate_series(1, length(text)-2)) AS i
+        |       FROM documents WHERE length(text) >= 3)),
+        |hashed AS (
+        | SELECT doc_id, h, md5(concat(CAST(h AS VARCHAR), ':', shingle)) AS hv
+        | FROM (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS h FROM sh)),
+        |mh AS (SELECT doc_id, h, min(hv) AS mh FROM hashed GROUP BY doc_id, h),
+        |sigs AS (
+        | SELECT doc_id, CAST(h // 4 AS INT) AS band,
+        |  string_agg(concat(CAST(h AS VARCHAR), '=', mh), '|' ORDER BY concat(CAST(h AS VARCHAR), '=', mh)) AS sig
+        | FROM mh GROUP BY doc_id, CAST(h // 4 AS INT))
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH toks AS (
+        | SELECT doc_id, md5(unnest($tokSql)) AS h FROM documents),
+        |bits AS (
+        | SELECT doc_id, j, CASE WHEN sum(ascii(substring(h, j + 1, 1)) % 2 * 2 - 1) > 0 THEN 1 ELSE 0 END AS bit
+        | FROM (SELECT doc_id, h, unnest(generate_series(0, 31)) AS j FROM toks)
+        | GROUP BY doc_id, j)
+        |SELECT doc_id, sum(CAST(bit AS BIGINT) << j) AS simhash FROM bits GROUP BY doc_id""".stripMargin,
+
+    "dedup_embed_cosine" ->
+      s"""WITH q AS (SELECT vec_id, label, $quantSql AS qv FROM embeddings),
+        |n AS (SELECT vec_id, label, qv, ${dotSql("qv", "qv")} AS nsq FROM q),
+        |p AS (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ${dotSql("a.qv", "b.qv")} AS dot, a.nsq AS an, b.nsq AS bn
+        | FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b,
+        | CAST(floor(CAST(dot AS DOUBLE)/sqrt(CAST(an*bn AS DOUBLE)) * 1e6) AS BIGINT) AS cos_micro
+        |FROM p WHERE dot > 0 AND dot*dot*25 >= an*bn*4""".stripMargin,
+
+    "ann_bruteforce_topk" ->
+      s"""WITH q AS (SELECT vec_id, $quantSql AS qv FROM embeddings),
+        |n AS (SELECT vec_id, qv, ${dotSql("qv", "qv")} AS nsq FROM q),
+        |p AS (
+        | SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |  CAST(${dotSql("a.qv", "b.qv")} AS DOUBLE)/sqrt(CAST(a.nsq*b.nsq AS DOUBLE)) AS cos
+        | FROM n a JOIN n b ON a.vec_id != b.vec_id WHERE a.vec_id % 50 = 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM p)
+        |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank",
+        | CAST(floor(cos * 1e6) AS BIGINT) AS cos_micro
+        |FROM r WHERE rnk <= 5""".stripMargin,
+
+    "ann_ivf_topk" ->
+      s"""WITH q AS (SELECT vec_id, label, $quantSql AS qv FROM embeddings),
+        |n AS (SELECT vec_id, label, qv, ${dotSql("qv", "qv")} AS nsq FROM q),
+        |p AS (
+        | SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |  CAST(${dotSql("a.qv", "b.qv")} AS DOUBLE)/sqrt(CAST(a.nsq*b.nsq AS DOUBLE)) AS cos
+        | FROM n a JOIN n b ON a.label = b.label AND a.vec_id != b.vec_id WHERE a.vec_id % 50 = 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM p)
+        |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank",
+        | CAST(floor(cos * 1e6) AS BIGINT) AS cos_micro
+        |FROM r WHERE rnk <= 5""".stripMargin,
+
+    "text_langid" ->
+      s"""WITH scored AS (
+        | SELECT doc_id,
+        |  CAST(${langScoreSql("en")} AS BIGINT) AS score_en,
+        |  CAST(${langScoreSql("de")} AS BIGINT) AS score_de,
+        |  CAST(${langScoreSql("es")} AS BIGINT) AS score_es,
+        |  CAST(${langScoreSql("fr")} AS BIGINT) AS score_fr,
+        |  CAST(${langScoreSql("zh")} AS BIGINT) AS score_zh
+        | FROM (SELECT doc_id, $tokSql AS toks FROM documents))
+        |SELECT doc_id, score_en, score_de, score_es, score_fr, score_zh,
+        | CASE WHEN score_en >= greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'en'
+        |      WHEN score_de >= greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'de'
+        |      WHEN score_es >= greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'es'
+        |      WHEN score_fr >= greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'fr'
+        |      ELSE 'zh' END AS pred_lang
+        |FROM scored""".stripMargin,
+
+    "text_quality" -> {
+      val allStops = TextOps.stopwords.values.flatten.toSeq.distinct.sorted
+      val stopCntSql = allStops.map(w => s"CAST(list_contains(toks, '$w') AS INT)").mkString(" + ")
+      s"""WITH base AS (SELECT doc_id, text, $tokSql AS toks FROM documents)
+        |SELECT doc_id,
+        | CAST(length(text) AS BIGINT) AS n_chars_m,
+        | CAST(len(toks) AS BIGINT) AS n_tokens,
+        | CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+        | CAST($stopCntSql AS BIGINT) AS n_stopword_kinds,
+        | CASE WHEN len(toks) > 0
+        |  THEN CAST(floor(1000.0 * CAST($stopCntSql AS DOUBLE) / CAST(len(toks) AS DOUBLE)) AS BIGINT)
+        |  ELSE 0 END AS stop_ratio_milli,
+        | CASE WHEN len(toks) > 0
+        |  THEN CAST(floor(1000.0 * CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) AS BIGINT)
+        |  ELSE 0 END AS avg_token_len_milli
+        |FROM base""".stripMargin
+    },
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+
+    "text_winnow_fingerprint" ->
+      """WITH grams AS (
+        | SELECT doc_id, i AS pos, length(text) - 7 AS ng, md5(substring(text, i, 8)) AS gram_hash
+        | FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 7)) AS i
+        |       FROM documents WHERE length(text) >= 12)),
+        |mins AS (
+        | SELECT doc_id, pos, ng,
+        |  min(gram_hash) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS win_min
+        | FROM grams)
+        |SELECT DISTINCT doc_id, win_min AS fingerprint FROM mins WHERE pos <= ng - 4""".stripMargin)
+}

@@ -1,0 +1,82 @@
+package graft.report
+
+import graft.canon.Canon
+import graft.extract.Extract
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Stage-1 postprocess and stage-2 wide-report operators.
+  *
+  * Every keep-first semantic from the reference (pandas implicit row
+  * order) is a deterministic `row_number` window over an explicit
+  * arrival ordinal — Spark's dropDuplicates gives no ordering
+  * guarantee, so windows are the only faithful formulation
+  * (SURVEY.md §2.4-§2.5).
+  */
+object Report {
+
+  /** Target report years for filter F1 (cninfo_report_crawler.py:
+    * 111-122 — intended semantics; the reference's version raises
+    * NameError on the missing `re` import and silently drops rows).
+    */
+  def titleFilter(targetYears: Seq[Int]) = {
+    val yearsRe = targetYears.mkString("|")
+    (c: org.apache.spark.sql.Column) => c.rlike(yearsRe) || !c.rlike("\\d")
+  }
+
+  /** Stage-1 postprocess (cninfo_report_crawler.py:515-537):
+    * F1 year filter → F2 摘要/英文版 exclusion → code canonicalization
+    * → A2 3-key keep-first dedup → A3 latest-per-code top-1 →
+    * F6 projection. Input columns: (arrival_seq, sec_code_raw,
+    * company, title, report_date, pdf_url).
+    */
+  def postprocessStage1(ann: DataFrame, targetYears: Seq[Int]): DataFrame = {
+    val f1 = titleFilter(targetYears)
+    val filtered = ann
+      .where(f1(col("title")))
+      .where(!col("title").contains("摘要") && !col("title").contains("英文版"))
+      .withColumn("sec_code", Canon.classifyExchange(Canon.padCode(col("sec_code_raw"))))
+    // A2: keep first arrival per (code, company, title)
+    val w2 = Window.partitionBy("sec_code", "company", "title").orderBy("arrival_seq")
+    val deduped = filtered
+      .withColumn("__rn", row_number().over(w2)).where(col("__rn") === 1).drop("__rn")
+    // A3: latest report per code (date desc nulls last, arrival asc)
+    val w3 = Window.partitionBy("sec_code")
+      .orderBy(col("report_date").desc_nulls_last, col("arrival_seq").asc)
+    deduped
+      .withColumn("__rn", row_number().over(w3)).where(col("__rn") === 1)
+      .select("sec_code", "company", "title", "report_date", "pdf_url")
+  }
+
+  /** A4: first-positive-else-first group reduce
+    * (report_info_collection.py:463-489): within each group (ordered
+    * by arrival), take the first member whose amount parses > 0, else
+    * the first member.
+    */
+  def firstPositiveElseFirst(df: DataFrame, keys: Seq[String],
+                             amountCol: String, seqCol: String): DataFrame = {
+    val pos = Extract.parseAmount(col(amountCol)) > 0
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(pos.desc_nulls_last, col(seqCol).asc)
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** A5+J3: pivot long rows to the wide report and attach the
+    * has-data-resource flag (report_info_collection.py:492-528).
+    * Pivot uses the explicit category list so the plan stays static.
+    * The flag side aggregates to one row per doc — broadcast join.
+    */
+  def widen(longRows: DataFrame): DataFrame = {
+    val deduped = firstPositiveElseFirst(longRows, Seq("doc_id", "item"), "amount_str", "seq")
+    val wide = deduped.groupBy("doc_id")
+      .pivot("item", Extract.Categories)
+      .agg(first(Extract.cleanSentinel(col("amount_str"))))
+    val flags = longRows.groupBy("doc_id")
+      .agg(max(col("has_flag").cast("int")).cast("boolean").as("has_data_resource"))
+    val cleaned = Extract.Categories.foldLeft(wide) { (d, c) =>
+      d.withColumn(c, Extract.cleanSentinel(col(c)))
+    }
+    cleaned.join(broadcast(flags), Seq("doc_id"), "left_outer")
+  }
+}

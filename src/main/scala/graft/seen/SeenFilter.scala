@@ -1,0 +1,150 @@
+package graft.seen
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+/** URL-seen filtering: the frontier's dedup identity (SURVEY.md §2.4
+  * A1/A6, reference analog cninfo_report_crawler.py:183,294-306).
+  *
+  * Two layers, by design:
+  *  1. EXACT first-wins / anti-join — the source of truth. The north
+  *     rule demands exact seen-set equality with the reference, so
+  *     correctness never rests on a sketch.
+  *  2. Partitioned Bloom pre-filter — a shuffle-reduction front at the
+  *     10^10-URL design point: candidates are partitioned by
+  *     pmod(xxhash64(url), P) (the same stable function that
+  *     partitioned the build), each partition probes only its own
+  *     sketch, and only possible-dups pay the exact anti-join. With
+  *     10^10 keys, P=4096 and 10 bits/key each sketch is ~3 GB/P ≈
+  *     3 MB — executor-cache friendly. False positives cost an extra
+  *     exact probe; false negatives are impossible, so the exact
+  *     layer sees every true duplicate.
+  */
+object SeenFilter {
+
+  /** A1/A2: first occurrence wins, deterministically — a row_number
+    * window over the explicit arrival ordinal (pandas keep='first'
+    * has no partition-stable Spark analog without it).
+    */
+  def firstWins(df: DataFrame, keyCols: Seq[String], seqCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).asc)
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** J1: exact not-seen filter — candidates whose key is absent from
+    * the seen table. Catalyst plans a shuffled (or broadcast, when
+    * seen is small) left-anti hash join.
+    */
+  def notSeen(candidates: DataFrame, seen: DataFrame, keyCols: Seq[String]): DataFrame =
+    candidates.join(seen.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+
+  /** Stable partition id for the bloom domain — MUST be the same
+    * expression on the build and probe sides across rounds/snapshots.
+    */
+  def bloomPartition(url: Column, p: Int): Column = pmod(xxhash64(url), lit(p))
+
+  // ---------------------------------------------------------------
+  // Bloom sketch: Array[Long] bit set + double hashing (Kirsch-
+  // Mitzenmacher), FNV-1a/splitmix64 based — self-contained, no
+  // driver-collected state (Spark's df.stat.bloomFilter collects to
+  // the driver, which cannot scale to a 10^10-key partitioned build).
+  // ---------------------------------------------------------------
+
+  final case class BloomParams(numBits: Int, numHashes: Int)
+
+  object BloomParams {
+    /** Standard sizing: m = -n·ln(p)/ln2², k = m/n·ln2. */
+    def forItems(expectedItems: Long, fpp: Double): BloomParams = {
+      val m = math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2)))
+      val bits = math.max(64, math.min(m, Int.MaxValue.toDouble * 32).toLong)
+      val k = math.max(1, math.round(bits.toDouble / expectedItems * math.log(2)).toInt)
+      BloomParams(((bits + 63) / 64 * 64).toInt, k)
+    }
+  }
+
+  private def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  def setBits(bits: Array[Long], params: BloomParams, key: String): Unit = {
+    val h1 = fnv64(key); val h2 = splitmix64(h1)
+    var i = 0
+    while (i < params.numHashes) {
+      val idx = java.lang.Long.remainderUnsigned(h1 + i.toLong * h2, params.numBits.toLong).toInt
+      bits(idx >>> 6) |= (1L << (idx & 63))
+      i += 1
+    }
+  }
+
+  def mightContain(bits: Array[Long], params: BloomParams, key: String): Boolean = {
+    val h1 = fnv64(key); val h2 = splitmix64(h1)
+    var i = 0
+    while (i < params.numHashes) {
+      val idx = java.lang.Long.remainderUnsigned(h1 + i.toLong * h2, params.numBits.toLong).toInt
+      if ((bits(idx >>> 6) & (1L << (idx & 63))) == 0) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Typed aggregator building one Bloom sketch per group (public
+    * `Aggregator` + `functions.udaf` per SURVEY.md §2.10; buffer is a
+    * primitive long array so ser/de is a flat copy).
+    */
+  class BloomAgg(params: BloomParams) extends Aggregator[String, Array[Long], Array[Long]] {
+    def zero: Array[Long] = new Array[Long](params.numBits / 64)
+    def reduce(b: Array[Long], key: String): Array[Long] = { setBits(b, params, key); b }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0; while (i < a.length) { a(i) |= b(i); i += 1 }; a
+    }
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Build per-partition sketches: (bloom_pid, bits). One shuffle on
+    * the stable partition id; map-side partial aggregation combines
+    * sketches before the exchange.
+    */
+  def buildPartitionedBloom(seen: DataFrame, urlCol: String, p: Int,
+                            params: BloomParams): DataFrame = {
+    val agg = udaf(new BloomAgg(params))
+    seen.groupBy(bloomPartition(col(urlCol), p).as("bloom_pid"))
+      .agg(agg(col(urlCol)).as("bits"))
+  }
+
+  /** Probe: candidates → (row, might_be_seen). The sketch map is a
+    * broadcast (P sketches of numBits/8 bytes each); rows whose
+    * partition has no sketch are definitely unseen.
+    */
+  def probeBloom(candidates: DataFrame, urlCol: String, p: Int, params: BloomParams,
+                 sketches: Map[Int, Array[Long]]): DataFrame = {
+    val spark = candidates.sparkSession
+    val bc = spark.sparkContext.broadcast(sketches)
+    val probe = udf { (pid: Int, url: String) =>
+      bc.value.get(pid).exists(bits => mightContain(bits, params, url))
+    }
+    candidates
+      .withColumn("__pid", bloomPartition(col(urlCol), p).cast("int"))
+      .withColumn("might_be_seen", probe(col("__pid"), col(urlCol)))
+      .drop("__pid")
+  }
+
+  /** Collect built sketches into the broadcastable map (P entries —
+    * driver holds P×(numBits/8) bytes; size params accordingly).
+    */
+  def collectSketches(bloomDf: DataFrame): Map[Int, Array[Long]] =
+    bloomDf.collect().map(r => r.getLong(0).toInt -> r.getSeq[Long](1).toArray).toMap
+}
