@@ -62,9 +62,11 @@ object Canon {
 
   /** E-str2: zero-pad an all-digit security code to 6 chars
     * (cninfo_report_crawler.py:89-90). Non-numeric codes unchanged.
+    * Python's zfill never truncates, so codes longer than 6 pass
+    * through (Spark/DuckDB lpad WOULD truncate — hence the guard).
     */
   def padCode(code: Column): Column =
-    when(code.rlike("^\\d+$"), lpad(code, 6, "0")).otherwise(code)
+    when(code.rlike("^\\d+$") && length(code) < 6, lpad(code, 6, "0")).otherwise(code)
 
   /** E-str3: exchange-suffix classification by 2-char prefix
     * (cninfo_report_crawler.py:92-109): 60/68→.SH, 00/30→.SZ,
@@ -79,7 +81,9 @@ object Canon {
   }
 
   def padCodeScala(code: String): String =
-    if (code.nonEmpty && code.forall(_.isDigit)) ("0" * math.max(0, 6 - code.length)) + code else code
+    if (code.nonEmpty && code.length < 6 && code.forall(_.isDigit))
+      ("0" * (6 - code.length)) + code
+    else code
 
   def classifyExchangeScala(code6: String): String = {
     val p = code6.take(2)

@@ -1,0 +1,311 @@
+package graft.crawl
+
+import graft.gen.Fixtures
+import graft.model._
+import graft.sched.Scheduler
+import graft.seen.SeenFilter
+import graft.snapshot.SnapshotLog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** The end-to-end URL-frontier crawl (the north rule's core job):
+  * seed expansion → paginated listing scan → F1/F2 filters → bloom +
+  * exact URL-seen filter → robots gate → priority-ordered politeness
+  * scheduling → document fetch into the interleaved-spans table — all
+  * Catalyst-planned Dataset transforms inside a driver round loop
+  * (frontier growth is iterative BFS, SURVEY.md §3.1), each round
+  * committed atomically to a [[SnapshotLog]] so the job resumes
+  * exactly from its last checkpoint.
+  *
+  * Scale design (10^10-URL frontier, SURVEY.md §4.2):
+  *  - seen check: candidates split by the partitioned Bloom sketch
+  *    into definitely-new (NO join at all — the common case for a
+  *    frontier) vs possible-dup (exact anti-join). False negatives
+  *    are impossible, so the seen set stays exact; false positives
+  *    only cost the exact probe.
+  *  - politeness shuffles on the salted host key (ST2) — the one hot
+  *    host spreads over saltCount sub-queues sharing the divided
+  *    budget; per-round group state is bounded by the budget, so the
+  *    flatMapGroups buffers are bounded by construction.
+  *  - every round reads inputs from the committed snapshot, so plan
+  *    lineage never grows across rounds.
+  *
+  * Reference trace: cninfo_report_crawler.py:167-346 (listing loop),
+  * :294-306 (first-wins seen), :331 (politeness), :111-126 (filters);
+  * fetch stage report_info_collection.py:212-268.
+  */
+object CrawlJob {
+
+  final case class Config(
+      targetYears: Seq[Int] = Seq(2023, 2024),
+      maxPagesCap: Int = 500,        // O4 hard page cap (reference: 500)
+      emptyRunLimit: Int = 3,        // O4 consecutive-empty stop
+      saltCount: Int = 8,            // ST2 hot-host salt fan-out
+      tokensPerTick: Int = 4,        // ST1 budget per (host,salt) per tick
+      ticksPerRound: Int = 8,        // politeness ticks per round
+      tickMs: Long = 300L,           // reference politeness delay (:331)
+      bloomP: Int = 32,              // seen-domain partition count
+      bloomBits: Int = 1 << 16,      // bits per partition sketch
+      bloomHashes: Int = 4,
+      maxRounds: Int = 1000)
+
+  /** Global lineage totals for one round (the per-partition rows live
+    * in the metrics table; these are the reconciliation sums).
+    */
+  final case class Totals(urlsSeen: Long, filtered: Long, dupDropped: Long,
+                          newUnique: Long, robotsDenied: Long, fetched: Long,
+                          deferred: Long)
+
+  final case class RoundResult(round: Int, totals: Totals, snapshotId: Long,
+                               listingPending: Long, docsPending: Long)
+
+  val ListingTable = "frontier_listing"
+  val DocsFrontierTable = "frontier_docs"
+  val SeenTable = "seen"
+  val SketchTable = "seen_sketch"
+  val ResultsTable = "results"
+  val DocsTable = "docs"
+  val MetricsTable = "metrics"
+
+  def seedListing(seeds: Seq[Seed]): Seq[ListingTask] =
+    seeds.map(s => ListingTask(s.exchangeRank, s.exchange, s.epochDay, s.category, 1, 0))
+
+  /** Inclusive seed expansion: exchange × day × category (E-date3 +
+    * the exchange/category dimensions, cninfo_report_crawler.py:
+    * 378-379,434-440).
+    */
+  def expandSeeds(startDay: Int, endDay: Int): Seq[Seed] =
+    for {
+      (rank, ex) <- Fixtures.Exchanges
+      day <- startDay to endDay
+      cat <- Fixtures.Categories
+    } yield Seed(rank, ex, day, cat)
+
+  private def bloomParams(cfg: Config) = SeenFilter.BloomParams(cfg.bloomBits, cfg.bloomHashes)
+
+  /** Run (or resume) the crawl to frontier exhaustion. */
+  def run(spark: SparkSession, seeds: Seq[Seed], cfg: Config, snapshotRoot: String)
+      : Seq[RoundResult] = {
+    import spark.implicits._
+    val log = new SnapshotLog(snapshotRoot)
+    log.init()
+
+    var snap = log.latest().getOrElse {
+      log.commit(
+        deltas = Map.empty,
+        replaced = Map(
+          ListingTable -> seedListing(seeds).toDS().toDF(),
+          DocsFrontierTable -> spark.emptyDataset[DocTask].toDF()),
+        props = Map("round" -> "-1", "done" -> "false"))
+    }
+
+    val results = Seq.newBuilder[RoundResult]
+    var round = snap.props("round").toInt + 1
+    while (snap.props("done") != "true" && round < cfg.maxRounds) {
+      val r = runRound(spark, cfg, log, snap, round)
+      results += r
+      snap = log.read(r.snapshotId)
+      round += 1
+    }
+    results.result()
+  }
+
+  /** One scheduler round: expand listings, filter, dedup, gate,
+    * schedule under the politeness budget, fetch, commit.
+    */
+  def runRound(spark: SparkSession, cfg: Config, log: SnapshotLog,
+               snap: SnapshotLog.Snapshot, round: Int): RoundResult = {
+    import spark.implicits._
+    val params = bloomParams(cfg)
+
+    val listing = log.readTable(spark, snap, ListingTable)
+      .map(_.as[ListingTask]).getOrElse(spark.emptyDataset[ListingTask])
+    val deferredPrev = log.readTable(spark, snap, DocsFrontierTable)
+      .map(_.as[DocTask]).getOrElse(spark.emptyDataset[DocTask])
+
+    // ---- 1. listing expansion (synthetic S1 scan) -------------------
+    // The whole per-(exchange,date,category) stream state is one row;
+    // page growth is computed executor-side from the pure generator.
+    val anns = listing.flatMap { t =>
+      Fixtures.announcementsFor(t).map { a =>
+        (t.exchangeRank, t.epochDay, a.secCode, a.secName, a.title,
+          a.timeMs, a.timeStr, a.adjunctUrl, a.arrivalSeq, t.page)
+      }
+    }.toDF("exchange_rank", "epoch_day", "sec_code_raw", "company", "title",
+        "time_ms", "time_str", "adjunct_url", "arrival_seq", "page_depth")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val nextListing = listing.flatMap { t =>
+      val rows = Fixtures.rowsOnPage(t.exchangeRank, t.epochDay, t.category, t.page)
+      val tp = Fixtures.totalPages(t.exchangeRank, t.epochDay, t.category)
+      val emptyRun = if (rows == 0) t.emptyRun + 1 else 0
+      val nextPage = t.page + 1
+      if (t.page < tp && emptyRun < cfg.emptyRunLimit && nextPage <= cfg.maxPagesCap)
+        Some(t.copy(page = nextPage, emptyRun = emptyRun))
+      else None
+    }
+
+    // ---- 2. filters F1/F2 + canonicalization ------------------------
+    val yearsRe = cfg.targetYears.mkString("|")
+    val passes = (col("title").rlike(yearsRe) || !col("title").rlike("\\d")) &&
+      !col("title").contains("摘要") && !col("title").contains("英文版")
+    val candidates = anns
+      .withColumn("__passes", passes)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val urlsSeenCnt = candidates.count() // total examined this round
+    val filtered = candidates.where(!col("__passes")).count()
+
+    val kept = candidates.where(col("__passes"))
+      .withColumn("url", concat(lit(Fixtures.UrlBase), col("adjunct_url")))
+      .withColumn("seen_key", concat_ws("",
+        col("sec_code_raw"), col("title"), col("time_ms"), col("time_str"), col("adjunct_url")))
+
+    // ---- 3. within-batch first-wins (A1) ----------------------------
+    val w = Window.partitionBy("seen_key").orderBy("arrival_seq")
+    val batchFirst = kept
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+
+    // ---- 4. bloom pre-filter + exact anti-join vs seen --------------
+    val seenPrev = log.readTable(spark, snap, SeenTable)
+    val sketches = log.readTable(spark, snap, SketchTable)
+      .map(collectMergedSketches).getOrElse(Map.empty[Int, Array[Long]])
+    val probed = SeenFilter.probeBloom(batchFirst, "seen_key", cfg.bloomP, params, sketches)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val definitelyNew = probed.where(!col("might_be_seen")).drop("might_be_seen")
+    val possibleDup = probed.where(col("might_be_seen")).drop("might_be_seen")
+    val confirmedNew = seenPrev match {
+      case Some(seen) => possibleDup.join(seen.select("seen_key"), Seq("seen_key"), "left_anti")
+      case None => possibleDup
+    }
+    val newUniqueDf = definitelyNew.unionByName(confirmedNew)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val batchFirstCnt = batchFirst.count()
+    val newUnique = newUniqueDf.count()
+    val dupDropped = urlsSeenCnt - filtered - newUnique
+
+    // ---- 5. build this round's sketch delta over new keys ----------
+    val sketchDelta = SeenFilter.buildPartitionedBloom(
+      newUniqueDf.select("seen_key"), "seen_key", cfg.bloomP, params)
+
+    // ---- 6. results delta (validated stage-1 rows) ------------------
+    val resultsDelta = newUniqueDf.select(
+      col("arrival_seq"), col("sec_code_raw"), col("company"), col("title"),
+      graft.canon.Canon.announceDate(
+        when(col("time_ms") >= 0, col("time_ms")), col("time_str")).as("report_date"),
+      col("url").as("pdf_url"))
+
+    // ---- 7. doc frontier: new tasks ∪ deferred, robots gate ---------
+    val newTasks = newUniqueDf.select(
+      col("url"),
+      lit(Fixtures.Host).as("host"),
+      col("epoch_day").as("announceEpochDay"),
+      col("sec_code_raw").as("secCode"),
+      col("page_depth").as("pageDepth"),
+      col("seen_key").as("seenKey"))
+      .as[DocTask]
+    val allTasks = newTasks.unionByName(deferredPrev).toDF()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val rulesDf = Fixtures.robotsRules.toDF("host", "path_prefix", "allow")
+    val gated = Scheduler.robotsGate(allTasks, rulesDf)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val denied = gated.where(col("robots_denied"))
+    val allowed = gated.where(!col("robots_denied")).drop("robots_denied")
+
+    // ---- 8. politeness scheduling under the round budget ------------
+    // north-star priority: (announce date, stock code, page depth)
+    val schedIn = allowed.select(
+      col("url"), col("host"),
+      col("announceEpochDay").cast("long").as("priority"),
+      concat_ws("|", col("secCode"), lpad(col("pageDepth").cast("string"), 6, "0"),
+        col("seenKey")).as("tiebreak"))
+      .as[Scheduler.SchedIn]
+    val assigned = Scheduler
+      .assignVirtualTicks(schedIn, cfg.saltCount, cfg.tokensPerTick, cfg.tickMs)
+      .toDF()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val toFetch = assigned.where(col("tick_index") < cfg.ticksPerRound)
+    val deferredNow = assigned.where(col("tick_index") >= cfg.ticksPerRound)
+      .select("url")
+      .join(allTasks, Seq("url"))
+      .select("url", "host", "announceEpochDay", "secCode", "pageDepth", "seenKey")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // ---- 9. fetch (synthetic S4) → interleaved-spans docs -----------
+    val fetchedDocs = toFetch.select("url").as[String].map { url =>
+      val d = Fixtures.docFor(url)
+      (d.doc_id, d.spans, round)
+    }.toDF("doc_id", "spans", "fetch_round")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // ---- 10. per-partition lineage metrics --------------------------
+    def partCounts(df: DataFrame, counter: String): DataFrame =
+      df.groupBy(spark_partition_id().as("partition_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit(round).as("round"), lit(counter).as("counter"),
+          col("partition_id"), col("n"))
+    val metricsDelta =
+      partCounts(candidates, "urls_seen")
+        .unionByName(partCounts(fetchedDocs, "fetched"))
+        .unionByName(partCounts(deferredNow, "deferred"))
+        .unionByName(partCounts(denied, "robots_denied"))
+        .unionByName(partCounts(candidates.where(!col("__passes")), "filtered"))
+
+    val fetchedCnt = fetchedDocs.count()
+    val deferredCnt = deferredNow.count()
+    val deniedCnt = denied.count()
+
+    // ---- 11. atomic snapshot commit ---------------------------------
+    val nextListingDf = nextListing.toDF().persist(StorageLevel.MEMORY_AND_DISK)
+    val listingPending = nextListingDf.count()
+    val done = listingPending == 0 && deferredCnt == 0
+    val totals = Totals(urlsSeenCnt, filtered, dupDropped, newUnique,
+      deniedCnt, fetchedCnt, deferredCnt)
+    val next = log.commit(
+      deltas = Map(
+        SeenTable -> newUniqueDf.select("seen_key", "url", "arrival_seq"),
+        SketchTable -> sketchDelta,
+        ResultsTable -> resultsDelta,
+        DocsTable -> fetchedDocs,
+        MetricsTable -> metricsDelta),
+      replaced = Map(
+        ListingTable -> nextListingDf.toDF(),
+        DocsFrontierTable -> deferredNow),
+      props = Map(
+        "round" -> round.toString, "done" -> done.toString,
+        "urls_seen" -> urlsSeenCnt.toString, "filtered" -> filtered.toString,
+        "dup_dropped" -> dupDropped.toString, "new_unique" -> newUnique.toString,
+        "robots_denied" -> deniedCnt.toString, "fetched" -> fetchedCnt.toString,
+        "deferred" -> deferredCnt.toString))
+
+    Seq(anns, candidates, probed, newUniqueDf, allTasks, gated, assigned,
+      deferredNow, fetchedDocs, nextListingDf).foreach(_.unpersist())
+    RoundResult(round, totals, next.id, listingPending, deferredCnt)
+  }
+
+  /** OR-merge all committed sketch deltas into one map (P entries;
+    * driver holds P × bits/8 bytes — sized by config).
+    */
+  def collectMergedSketches(sketchDf: DataFrame): Map[Int, Array[Long]] =
+    sketchDf.collect()
+      .map(r => r.getLong(0).toInt -> r.getSeq[Long](1).toArray)
+      .groupBy(_._1)
+      .map { case (pid, rows) =>
+        val merged = rows.head._2.clone()
+        rows.tail.foreach { case (_, bits) =>
+          var i = 0; while (i < merged.length) { merged(i) |= bits(i); i += 1 }
+        }
+        pid -> merged
+      }
+
+  /** Final stage-1 output: the reference's postprocess over the
+    * accumulated results table (A2/A3 windows + F6 projection).
+    */
+  def finalReport(spark: SparkSession, log: SnapshotLog, cfg: Config): DataFrame = {
+    val snap = log.latest().get
+    val res = log.readTable(spark, snap, ResultsTable).get
+    graft.report.Report.postprocessStage1(res, cfg.targetYears)
+  }
+}

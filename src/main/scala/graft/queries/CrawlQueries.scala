@@ -154,7 +154,8 @@ object CrawlQueries {
         | FROM ann),
         |filtered AS (
         | SELECT *,
-        |  CASE WHEN regexp_matches(sec_code_raw, '^\d+$') THEN lpad(sec_code_raw, 6, '0')
+        |  CASE WHEN regexp_matches(sec_code_raw, '^\d+$') AND length(sec_code_raw) < 6
+        |       THEN lpad(sec_code_raw, 6, '0')
         |       ELSE sec_code_raw END AS code6
         | FROM ann2
         | WHERE (regexp_matches(title, '2023|2024') OR NOT regexp_matches(title, '\d'))

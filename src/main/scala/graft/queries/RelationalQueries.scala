@@ -292,7 +292,7 @@ object RelationalQueries {
         | FROM customer),
         |padded AS (
         | SELECT c_custkey, code_raw,
-        |  CASE WHEN regexp_matches(code_raw, '^\d+$') THEN lpad(code_raw, 6, '0') ELSE code_raw END AS code_padded
+        |  CASE WHEN regexp_matches(code_raw, '^\d+$') AND length(code_raw) < 6 THEN lpad(code_raw, 6, '0') ELSE code_raw END AS code_padded
         | FROM raws)
         |SELECT c_custkey, code_raw, code_padded,
         | CASE WHEN substr(code_padded,1,2) IN ('60','68') THEN concat(code_padded, '.SH')

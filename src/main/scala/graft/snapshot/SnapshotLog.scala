@@ -1,0 +1,147 @@
+package graft.snapshot
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Minimal snapshot-manifest table layer with Iceberg-shaped
+  * semantics (SURVEY.md §4.2 — the sandbox ships no Iceberg jars).
+  *
+  * Layout under `root/`:
+  *   data/<table>/s<id>/...parquet   — immutable per-round delta dirs
+  *   snapshot-<id>.json              — manifest: parent id, per-table
+  *                                     list of ALL data dirs composing
+  *                                     the table at this snapshot, and
+  *                                     the round's scalar properties
+  *
+  * Commit protocol: write data dirs first, then write the manifest to
+  * a temp file and atomically rename it into place — a crash anywhere
+  * before the rename leaves the previous snapshot intact and the
+  * orphan dirs unreferenced (exactly Iceberg's commit story). Latest
+  * snapshot = max committed id (the reference's analog: pick the
+  * newest timestamped CSV, report_info_collection.py:363-391).
+  *
+  * Accumulating tables (seen set, results, metrics) commit deltas;
+  * replace-tables (the frontier) commit a full rewrite. Readers get
+  * one DataFrame over all listed dirs — Parquet scans them in
+  * parallel with pushdown/pruning intact.
+  */
+object SnapshotLog {
+  final case class Snapshot(id: Long, parent: Long,
+                            tables: Map[String, Seq[String]],
+                            props: Map[String, String])
+}
+
+final class SnapshotLog(val root: String) {
+  import SnapshotLog.Snapshot
+
+  private val rootPath = Paths.get(root)
+
+  def init(): Unit = Files.createDirectories(rootPath)
+
+  def latest(): Option[Snapshot] = {
+    if (!Files.isDirectory(rootPath)) return None
+    val ids = Files.list(rootPath).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("snapshot-") && s.endsWith(".json") =>
+        s.stripPrefix("snapshot-").stripSuffix(".json").toLong }
+      .toSeq
+    if (ids.isEmpty) None else Some(read(ids.max))
+  }
+
+  def read(id: Long): Snapshot = parse(Files.readString(manifestPath(id)))
+
+  /** Commit one round. `deltas` = tables gaining a delta dir this
+    * round; `replaced` = tables fully rewritten this round. A table
+    * absent from both carries over its parent's dirs unchanged.
+    * Empty DataFrames commit no dir (a table can shrink to nothing
+    * only via `replaced`).
+    */
+  def commit(deltas: Map[String, DataFrame], replaced: Map[String, DataFrame],
+             props: Map[String, String]): Snapshot = {
+    init()
+    val parent = latest()
+    val id = parent.map(_.id + 1).getOrElse(0L)
+
+    def writeDir(name: String, df: DataFrame): String = {
+      val dir = rootPath.resolve("data").resolve(name).resolve(s"s$id").toString
+      df.write.mode("overwrite").parquet(dir)
+      dir
+    }
+
+    val parentTables = parent.map(_.tables).getOrElse(Map.empty)
+    val afterDeltas = deltas.foldLeft(parentTables) { case (acc, (name, df)) =>
+      acc.updated(name, acc.getOrElse(name, Nil) :+ writeDir(name, df))
+    }
+    val afterReplace = replaced.foldLeft(afterDeltas) { case (acc, (name, df)) =>
+      acc.updated(name, Seq(writeDir(name, df)))
+    }
+
+    val snap = Snapshot(id, parent.map(_.id).getOrElse(-1L), afterReplace, props)
+    val tmp = Files.createTempFile(rootPath, s".snapshot-$id", ".tmp")
+    Files.writeString(tmp, render(snap))
+    Files.move(tmp, manifestPath(id), StandardCopyOption.ATOMIC_MOVE)
+    snap
+  }
+
+  /** Read a table as of a snapshot; None/empty schema-less tables are
+    * the caller's problem — callers always know their schema and pass
+    * a fallback via `orElse`.
+    */
+  def readTable(spark: SparkSession, snap: Snapshot, name: String): Option[DataFrame] =
+    snap.tables.get(name).filter(_.nonEmpty).map(dirs => spark.read.parquet(dirs: _*))
+
+  private def manifestPath(id: Long): Path = rootPath.resolve(f"snapshot-$id%06d.json")
+
+  // -- tiny self-contained JSON (flat, string-valued) -----------------
+
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+  } + "\""
+
+  private def render(s: Snapshot): String = {
+    val tables = s.tables.toSeq.sortBy(_._1).map { case (n, dirs) =>
+      s"${q(n)}: [${dirs.map(q).mkString(", ")}]"
+    }.mkString("{", ", ", "}")
+    val props = s.props.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ", ", "}")
+    s"""{"id": ${s.id}, "parent": ${s.parent}, "tables": $tables, "props": $props}"""
+  }
+
+  /** Parser for exactly the shape `render` emits. */
+  private def parse(js: String): Snapshot = {
+    val id = """"id":\s*(-?\d+)""".r.findFirstMatchIn(js).get.group(1).toLong
+    val parent = """"parent":\s*(-?\d+)""".r.findFirstMatchIn(js).get.group(1).toLong
+    def unq(s: String): String = {
+      val sb = new StringBuilder; var i = 0
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '\\' =>
+            s.charAt(i + 1) match {
+              case 'n' => sb += '\n'; i += 2
+              case 'u' => sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+              case c => sb += c; i += 2
+            }
+          case c => sb += c; i += 1
+        }
+      }
+      sb.toString
+    }
+    def obj(key: String): String = {
+      val start = js.indexOf(s""""$key":""")
+      val open = js.indexOf('{', start)
+      var depth = 0; var i = open
+      while ({ js.charAt(i) match { case '{' => depth += 1; case '}' => depth -= 1; case _ => }; depth > 0 }) i += 1
+      js.substring(open + 1, i)
+    }
+    val tablesRe = """"((?:[^"\\]|\\.)*)":\s*\[([^\]]*)\]""".r
+    val tables = tablesRe.findAllMatchIn(obj("tables")).map { m =>
+      val dirs = """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(m.group(2)).map(d => unq(d.group(1))).toSeq
+      unq(m.group(1)) -> dirs
+    }.toMap
+    val propsRe = """"((?:[^"\\]|\\.)*)":\s*"((?:[^"\\]|\\.)*)"""".r
+    val props = propsRe.findAllMatchIn(obj("props")).map(m => unq(m.group(1)) -> unq(m.group(2))).toMap
+    Snapshot(id, parent, tables, props)
+  }
+}

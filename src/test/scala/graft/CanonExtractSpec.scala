@@ -1,0 +1,103 @@
+package graft
+
+import graft.canon.Canon
+import graft.extract.Extract
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** Property tests: column expressions vs their pure-Scala twins
+  * (SURVEY.md §5.3 — E-str/E-date functions), generated inputs via
+  * scalacheck Gen, asserted exhaustively over the sample.
+  */
+class CanonExtractSpec extends SparkSpec {
+
+  private def evalStr(c: org.apache.spark.sql.Column, input: Seq[String]): Seq[String] = {
+    val s = spark; import s.implicits._
+    input.toDF("v").select(c).collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+  }
+
+  test("URL canonicalizer: column expression == Scala twin (E-str1)") {
+    val urls = Seq(
+      "HTTPS://Static.Cninfo.COM.cn:443/final/x.pdf#frag",
+      "http://a.example:80/p?q=1",
+      "https://b.example/no-port/path",
+      "https://c.example",
+      "http://D.EXAMPLE:8080/x")
+    val s = spark; import s.implicits._
+    val got = urls.toDF("v").select(Canon.canonicalizeFull(col("v"))).collect().map(_.getString(0))
+    assert(got.toSeq == urls.map(Canon.canonicalizeFullScala))
+    assert(Canon.canonicalizeFullScala("HTTPS://X.Y:443/a#b") == "https://x.y/a")
+    assert(Canon.hostOfScala("https://A.B:8080/x") == "a.b")
+  }
+
+  test("padCode/classifyExchange: column == Scala twin on generated codes") {
+    val gen = Gen.oneOf(
+      Gen.numStr.map(_.take(8)).suchThat(_.nonEmpty),
+      Gen.alphaNumStr.map(_.take(8)).suchThat(_.nonEmpty),
+      Gen.oneOf("600941", "300750", "830001", "92099", "43", "0", "X12345"))
+    val samples = Gen.listOfN(80, gen).sample.get
+    val got = evalStr(Canon.classifyExchange(Canon.padCode(col("v"))), samples)
+    val want = samples.map(c => Canon.classifyExchangeScala(Canon.padCodeScala(c)))
+    assert(got == want)
+  }
+
+  test("first-number ladder: column == Scala twin on messy numerics (E-str6)") {
+    val gen = Gen.oneOf(
+      Gen.const("其中：数据资源 1,234,567.89 元"),
+      Gen.const("约 1,234.5"), Gen.const("12,345"), Gen.const("3.14159 与 2"),
+      Gen.const("42"), Gen.const("无数据"), Gen.const(""),
+      Gen.const("a1,000b2,000.00c"), Gen.const("999 1,000.00"),
+      Gen.chooseNum(0, 99999999).map(n => f"$n%,d"),
+      Gen.chooseNum(0, 999999).map(n => s"前缀${n}后缀"))
+    val samples = Gen.listOfN(120, gen).sample.get
+    val got = evalStr(Extract.extractFirstNumber(col("v")), samples)
+    val want = samples.map(sv => Extract.extractFirstNumberScala(sv).orNull)
+    assert(got == want)
+  }
+
+  test("normalizeText: column == Scala twin (E-str4)") {
+    val samples = Seq("a b\tc\nd", "其中: 数据资源", "  x　y ", "no-ws", "a:b:c")
+    assert(evalStr(Extract.normalizeText(col("v")), samples) ==
+      samples.map(Extract.normalizeTextScala))
+  }
+
+  test("announceDate handles the int-or-string union (E-date1/2)") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (java.lang.Long.valueOf(1717200000123L), null: String),
+      (null: java.lang.Long, "2024-06-01 09:30:00"),
+      (null: java.lang.Long, null: String)).toDF("ms", "str")
+    val got = df.select(Canon.announceDate(col("ms"), col("str"))).collect()
+      .map(r => Option(r.getDate(0)).map(_.toString).orNull)
+    assert(got.toSeq == Seq("2024-06-01", "2024-06-01", null))
+  }
+
+  test("parseAmount: sentinels and junk yield null, not ANSI errors (E-str8)") {
+    val s = spark; import s.implicits._
+    val got = Seq("1,234.56", "N/A", "", "abc", " 7 ", "1,2,3").toDF("v")
+      .select(Extract.parseAmount(col("v")).cast("string")).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(got.toSeq == Seq("1234.56", null, null, null, "7.00", "123.00"))
+  }
+
+  test("extractLongRows: span order + parent category resolution (E-arr1/2)") {
+    val s = spark; import s.implicits._
+    import graft.model.{Doc, Span}
+    val doc = Doc("d1", Seq(
+      Span("text", "第1节 存货明细", null, 0),
+      Span("media", null, "media://img/a", 1),
+      Span("text", "其中：数据资源 | 1,234.56 | 元", null, 2),
+      Span("text", "第2节 开发支出说明", null, 3),
+      Span("text", "其中：数据资源 | N/A | 元", null, 4),
+      Span("text", "其中：数据资源 | 99 | 元", null, 5)))
+    val noCat = Doc("d2", Seq(Span("text", "其中：数据资源 | 5 | 元", null, 0)))
+    val got = Extract.extractLongRows(Seq(doc, noCat).toDS().toDF())
+      .orderBy("doc_id", "offset")
+      .select("doc_id", "item", "amount_str", "offset").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3)))
+    assert(got.toSeq == Seq(
+      ("d1", "存货", "1,234.56", 2),
+      ("d1", "开发支出", "0", 4),   // sentinel N/A → no number → '0'
+      ("d1", "开发支出", "99", 5))) // d2 dropped: no parent category
+  }
+}

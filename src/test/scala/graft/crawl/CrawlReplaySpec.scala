@@ -1,0 +1,121 @@
+package graft.crawl
+
+import graft.SparkSpec
+import graft.gen.Fixtures
+import graft.model.Span
+import java.nio.file.Files
+
+/** Seed-list replay golden tests (SURVEY.md §5.1-§5.2, the north
+  * rule's verification): the distributed crawl must equal the
+  * collections oracle on
+  *   (a) the per-round scheduled fetch batches (frontier order),
+  *   (b) the final URL-seen set,
+  *   (c) per-row span-sequence equality (kind, text, media_ref, order)
+  *       for every fetched document,
+  *   (d) lineage-counter reconciliation,
+  *   (e) the final postprocessed report.
+  */
+class CrawlReplaySpec extends SparkSpec {
+
+  // tight politeness budget (4 salts × 2 tokens × 1 tick = 8 fetches
+  // per host per round) so deferral is exercised
+  private lazy val cfg = CrawlJob.Config(
+    saltCount = 4, tokensPerTick = 2, ticksPerRound = 1, bloomP = 8,
+    bloomBits = 1 << 12, maxRounds = 100)
+  // 2 exchanges × 2 days × 2 categories = 8 seeds
+  private lazy val seeds = CrawlJob.expandSeeds(19800, 19801)
+    .filter(_.exchangeRank < 2)
+
+  private lazy val root = Files.createTempDirectory("crawl-replay").toString
+  private lazy val jobRounds = CrawlJob.run(spark, seeds, cfg, root)
+  private lazy val oracle = CrawlOracle.run(seeds, cfg)
+  private lazy val log = new graft.snapshot.SnapshotLog(root)
+
+  test("replay terminates with work done") {
+    assert(jobRounds.nonEmpty)
+    assert(jobRounds.last.listingPending == 0 && jobRounds.last.docsPending == 0)
+    assert(jobRounds.map(_.totals.fetched).sum > 0)
+    assert(jobRounds.map(_.totals.robotsDenied).sum > 0, "fixture must exercise robots")
+    assert(jobRounds.map(_.totals.deferred).sum > 0, "fixture must exercise deferral")
+    assert(jobRounds.map(_.totals.dupDropped).sum > 0, "fixture must exercise dups")
+  }
+
+  test("per-round totals and fetch batches equal the oracle (frontier order)") {
+    assert(jobRounds.size == oracle.rounds.size)
+    jobRounds.zip(oracle.rounds).foreach { case (j, o) =>
+      assert(j.totals == o.totals, s"round ${j.round} totals")
+    }
+    // batch membership per round — the scheduled-fetch sequence
+    val snap = log.latest().get
+    val fetchedByRound = log.readTable(spark, snap, CrawlJob.DocsTable).get
+      .select("doc_id", "fetch_round").collect()
+      .groupBy(_.getInt(1)).view.mapValues(_.map(_.getString(0)).toSet).toMap
+    oracle.rounds.foreach { o =>
+      assert(fetchedByRound.getOrElse(o.round, Set.empty) == o.fetchedUrls,
+        s"round ${o.round} fetch batch")
+    }
+  }
+
+  test("final URL-seen set equals the oracle's") {
+    val snap = log.latest().get
+    val seen = log.readTable(spark, snap, CrawlJob.SeenTable).get
+      .select("seen_key").collect().map(_.getString(0)).toSet
+    assert(seen == oracle.seen)
+  }
+
+  test("span-sequence equality (kind, text, media_ref, order) per fetched doc") {
+    val snap = log.latest().get
+    val docs = log.readTable(spark, snap, CrawlJob.DocsTable).get
+    import org.apache.spark.sql.Row
+    val got: Map[String, Seq[Span]] = docs.collect().map { r =>
+      val spans = r.getSeq[Row](r.fieldIndex("spans")).map { s =>
+        Span(s.getString(0), s.getString(1), s.getString(2), s.getInt(3))
+      }
+      r.getString(r.fieldIndex("doc_id")) -> spans
+    }.toMap
+    assert(got.keySet == oracle.fetchedDocs.keySet)
+    got.foreach { case (id, spans) =>
+      assert(spans == oracle.fetchedDocs(id).spans, s"doc $id span sequence")
+    }
+  }
+
+  test("lineage counters reconcile globally and match the metrics table") {
+    val t = jobRounds.map(_.totals)
+    val urlsSeen = t.map(_.urlsSeen).sum
+    val filtered = t.map(_.filtered).sum
+    val dups = t.map(_.dupDropped).sum
+    val newUnique = t.map(_.newUnique).sum
+    // urls_seen fully accounted for
+    assert(urlsSeen == filtered + dups + newUnique)
+    // every unique URL was fetched or robots-denied (frontier drained)
+    assert(newUnique == t.map(_.fetched).sum + t.map(_.robotsDenied).sum)
+
+    // per-partition metrics table sums to the same totals
+    val snap = log.latest().get
+    val m = log.readTable(spark, snap, CrawlJob.MetricsTable).get
+      .groupBy("counter").sum("n").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("urls_seen") == urlsSeen)
+    assert(m("fetched") == t.map(_.fetched).sum)
+    assert(m("robots_denied") == t.map(_.robotsDenied).sum)
+    assert(m("filtered") == filtered)
+    assert(m.getOrElse("deferred", 0L) == t.map(_.deferred).sum)
+  }
+
+  test("final postprocessed report equals the oracle postprocess") {
+    val got = CrawlJob.finalReport(spark, log, cfg).collect().map { r =>
+      (r.getString(0), r.getString(1), r.getString(2),
+        r.getDate(3).toLocalDate.toEpochDay.toInt, r.getString(4))
+    }.toSet
+    val want = CrawlOracle.finalReport(oracle.results).toSet
+    assert(got == want)
+  }
+
+  test("seen keys equal reference 4-tuple identity (first wins)") {
+    // the seen key is the reference's (secCode, title, time, url) tuple:
+    // re-serving the same announcement must not create a second key
+    val a1 = Fixtures.announcement(0, 19800, 7, 123L)
+    val a2 = Fixtures.announcement(0, 19800, 7, 456L)
+    assert(Fixtures.seenKey(a1) == Fixtures.seenKey(a2))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.crawl
+
+import graft.SparkSpec
+import graft.snapshot.SnapshotLog
+import java.nio.file.Files
+
+/** ST4 resumability (SURVEY.md §5.5): stop after k rounds, resume
+  * from the snapshot log, and the continuation must produce exactly
+  * the tables an uninterrupted run produces — determinism makes the
+  * continuation identical, the snapshot layer makes it possible.
+  */
+class ResumeSpec extends SparkSpec {
+
+  private val cfg = CrawlJob.Config(
+    saltCount = 4, tokensPerTick = 3, ticksPerRound = 4, bloomP = 8,
+    bloomBits = 1 << 12, maxRounds = 100)
+  private val seeds = CrawlJob.expandSeeds(19810, 19810).filter(_.exchangeRank < 2)
+
+  private def tableRows(root: String, name: String): Set[String] = {
+    val log = new SnapshotLog(root)
+    val snap = log.latest().get
+    log.readTable(spark, snap, name) match {
+      case Some(df) => df.collect().map(_.toString).toSet
+      case None => Set.empty
+    }
+  }
+
+  test("kill-after-k-rounds resume equals uninterrupted run") {
+    // uninterrupted
+    val rootA = Files.createTempDirectory("crawl-uninterrupted").toString
+    val fullRounds = CrawlJob.run(spark, seeds, cfg, rootA)
+    assert(fullRounds.size >= 3, "fixture must span several rounds")
+
+    // interrupted: run 2 rounds manually, then resume via run()
+    val rootB = Files.createTempDirectory("crawl-interrupted").toString
+    val logB = new SnapshotLog(rootB)
+    logB.init()
+    import spark.implicits._
+    var snap = logB.commit(
+      deltas = Map.empty,
+      replaced = Map(
+        CrawlJob.ListingTable -> CrawlJob.seedListing(seeds).toDS().toDF(),
+        CrawlJob.DocsFrontierTable -> spark.emptyDataset[graft.model.DocTask].toDF()),
+      props = Map("round" -> "-1", "done" -> "false"))
+    (0 until 2).foreach { r =>
+      val rr = CrawlJob.runRound(spark, cfg, logB, snap, r)
+      snap = logB.read(rr.snapshotId)
+    }
+    // "crash" here; a fresh run() resumes from the latest snapshot
+    val resumed = CrawlJob.run(spark, seeds, cfg, rootB)
+    assert(resumed.head.round == 2, "resume must continue at round 2")
+
+    Seq(CrawlJob.SeenTable, CrawlJob.DocsTable, CrawlJob.ResultsTable).foreach { t =>
+      assert(tableRows(rootA, t) == tableRows(rootB, t), s"table $t after resume")
+    }
+    // identical round traces from the resume point on
+    assert(resumed.map(_.totals) == fullRounds.drop(2).map(_.totals))
+  }
+
+  test("torn manifest write does not corrupt the log (atomic commit)") {
+    val root = Files.createTempDirectory("crawl-torn").toString
+    val log = new SnapshotLog(root)
+    log.init()
+    import spark.implicits._
+    val s0 = log.commit(Map.empty,
+      Map("t" -> Seq(("a", 1)).toDF("k", "v")), Map("round" -> "0", "done" -> "false"))
+    // simulate a crash mid-commit: data dir written, manifest absent
+    Seq(("b", 2)).toDF("k", "v").write.mode("overwrite")
+      .parquet(s"$root/data/t/s99")
+    val latest = log.latest().get
+    assert(latest.id == s0.id, "orphan data dirs must be invisible")
+    assert(log.readTable(spark, latest, "t").get.count() == 1)
+  }
+}

@@ -1,0 +1,151 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.report.Report
+import org.apache.spark.sql.functions._
+
+/** Unit tests for the pipeline operators (dedup / similarity / text /
+  * multimodal / report) on hand-built micro-corpora with obvious
+  * ground truth. The sf0.01 DuckDB oracle covers the same operators
+  * at volume; these pin the semantics readably.
+  */
+class OpsSpec extends SparkSpec {
+
+  private lazy val docs = {
+    val s = spark; import s.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),  // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat"),  // near dup of 1
+      (4L, "der hund und die katze sind da und das ist gut"),
+      (5L, "zzz qqq xxx")).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val got = DedupOps.exact(docs, "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val dupClass = got.find(_._3 == 2L)
+    assert(dupClass.exists(_._2 == 1L), "dup class must keep doc 1")
+    assert(got.length == 4)
+  }
+
+  test("ngram jaccard finds the near-dup pair and only it") {
+    val got = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", n = 3, num = 7, den = 10)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)) && got.contains((1L, 3L)) && got.contains((2L, 3L)))
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash LSH candidates include identical docs") {
+    val got = DedupOps.minhashLshPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)), "identical docs share every band")
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("simhash: identical docs equal, near dups close, far docs far") {
+    val got = DedupOps.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == got(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(got(1L), got(3L)) <= ham(got(1L), got(4L)))
+    val pairs = DedupOps.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("langId picks the stopword-dominant language") {
+    val got = TextOps.langId(docs, col("text"))
+      .select("doc_id", "pred_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en" && got(4L) == "de")
+  }
+
+  test("quality counters are exact on a known sentence") {
+    val got = TextOps.quality(docs.where(col("doc_id") === 1), col("text"))
+      .select("n_tokens", "n_distinct_tokens", "stop_ratio_milli").collect()(0)
+    assert(got.getLong(0) == 9)          // 9 words
+    assert(got.getLong(1) == 8)          // 'the' twice
+    assert(got.getLong(2) == 111)        // 1 stopword kind ('the') / 9 tokens
+  }
+
+  test("token counts: whitespace vs BPE-ish segmentation") {
+    val s = spark; import s.implicits._
+    val one = Seq((1L, "ab12 cd!ef")).toDF("doc_id", "text")
+    val got = TextOps.tokenCounts(one, col("text"))
+      .select("n_ws_tokens", "n_bpe_tokens").collect()(0)
+    assert(got.getLong(0) == 2)  // "ab12", "cd!ef"
+    assert(got.getLong(1) == 5)  // ab | 12 | cd | ! | ef
+  }
+
+  test("winnow fingerprints: dup docs share all fingerprints") {
+    val got = TextOps.winnowFingerprints(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byDoc = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byDoc(1L) == byDoc(2L))
+    assert(byDoc(1L) != byDoc(4L))
+    val inter = byDoc(1L).intersect(byDoc(3L)).size.toDouble / byDoc(1L).size
+    assert(inter > 0.5, "near dups share most fingerprints")
+  }
+
+  test("ANN brute-force: dup embedding is rank-1 neighbor, cosine 1") {
+    val s = spark; import s.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), "a"),
+      (1L, Array(1.0f, 0.0f, 0.0f), "a"),
+      (2L, Array(0.9f, 0.1f, 0.0f), "a"),
+      (3L, Array(0.0f, 1.0f, 0.0f), "b")).toDF("vec_id", "embedding", "label")
+    val got = SimilarityOps.annBruteForce(vecs.where(col("vec_id") === 0), vecs,
+      "vec_id", "embedding", k = 2).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got(0) == ((1L, 1L, 1000000L)))  // identical vector, cos=1.0
+    assert(got(1)._1 == 2L)
+    val ivf = SimilarityOps.annIvf(vecs.where(col("vec_id") === 0), vecs,
+      "vec_id", "embedding", "label", k = 5).collect()
+    assert(ivf.forall(_.getLong(1) != 3L), "IVF restricts to the query's bucket")
+  }
+
+  test("embedding near-dup pairs: exact rational threshold") {
+    val s = spark; import s.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), "a"),
+      (1L, Array(1.0f, 0.001f), "a"),
+      (2L, Array(0.0f, 1.0f), "a")).toDF("vec_id", "embedding", "label")
+    val got = SimilarityOps.embeddingNearDupPairs(vecs, "vec_id", "embedding", "label",
+      num = 99, den = 100).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L)))
+  }
+
+  test("multimodal decode: schema + deterministic stub metadata") {
+    val media = MultimodalOps.deriveMedia(docs.withColumn("doc_id", col("doc_id") * 2))
+    val meta = MultimodalOps.decodeMeta(media)
+    assert(meta.columns.toSeq ==
+      Seq("doc_id", "media_ref", "width", "height", "n_frames", "modality"))
+    val rows = meta.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) % 16 == 0 && r.getLong(2) >= 16 && r.getLong(2) <= 256)
+      assert(Set("image", "audio", "video")(r.getString(5)))
+    }
+    // determinism: same input → same metadata
+    val again = MultimodalOps.decodeMeta(media).collect().map(_.toString).sorted
+    assert(again.toSeq == rows.map(_.toString).sorted.toSeq)
+  }
+
+  test("widen: first-positive-else-first + pivot + flag join (A4/A5/J3)") {
+    val s = spark; import s.implicits._
+    val longRows = Seq(
+      ("d1", "存货", "N/A", false, 0L),
+      ("d1", "存货", "1,000.50", true, 1L),   // first positive wins over earlier N/A
+      ("d1", "无形资产", "0", false, 2L),
+      ("d2", "开发支出", "7", true, 0L),
+      ("d2", "开发支出", "9", true, 1L))      // first positive (7) wins
+      .toDF("doc_id", "item", "amount_str", "has_flag", "seq")
+    val got = Report.widen(longRows).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("d1").getString(1) == "1,000.50")
+    assert(got("d1").getString(2) == "0")
+    assert(got("d2").getString(3) == "7")
+    assert(got("d1").getBoolean(4) && got("d2").getBoolean(4))
+  }
+}
