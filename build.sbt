@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // Pin GC parallelism: G1 otherwise sizes its thread pool from the
+  // 32 HW threads, silently granting a local[2] run ~20 extra cores
+  // of GC work — which corrupts the N-vs-4N scaling measurement.
+  s"-XX:ParallelGCThreads=${sys.env.getOrElse("SPARK_GRAFT_GC_THREADS", "8")}",
+  s"-XX:ConcGCThreads=${sys.env.getOrElse("SPARK_GRAFT_CONC_GC_THREADS", "2")}",
 )

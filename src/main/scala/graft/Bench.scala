@@ -1,24 +1,98 @@
 package graft
+
+import graft.bench.ReplayBench
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entry (driver-run per round → BENCH_r{N}.json).
+  *
+  * Emits ONE JSON line:
+  *  - metric/value/unit: the north-star URLs scheduled+fetched/sec on
+  *    the seed-list replay pipeline at the 4N level
+  *  - scaling: the same replay at local[N] vs local[4N] (default
+  *    2 vs 8; see the in-code note on SMT) on identical input with
+  *    FIXED partitioning; efficiency = (thr_4N / thr_N) / 4
+  *  - queries: per-operator wall seconds over SPARK_GRAFT_SF_DIR
+  *
+  * Env knobs: SPARK_GRAFT_SF_DIR (query corpus), SPARK_GRAFT_CPUS
+  * (query-phase parallelism), SPARK_GRAFT_BENCH_URLS (replay size,
+  * default 2,000,000), SPARK_GRAFT_BENCH_LO/HI (parallelism pair),
+  * SPARK_GRAFT_PARTS (fixed partition count).
+  */
 object Bench {
+
+  private def session(cpus: Int, parts: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.default.parallelism", parts)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val nUrls = sys.env.getOrElse("SPARK_GRAFT_BENCH_URLS", "2000000").toLong
+
+    // ---- phase 1 (fresh JVM): replay scaling, local[8] vs local[32] ------------
+    // Identical input, fresh session per level. One full-size warm-up
+    // run first (JIT/heap warm-up is JVM-global and would otherwise
+    // flatter whichever level runs second), then min-of-2 per level.
+    // N vs 4N: local[2] vs local[8] — all physical cores. (This box
+    // is 16 physical cores + SMT: a pure-CPU probe scales 2→8 procs
+    // at 0.98 efficiency but 8→32 at only 0.78 because the upper
+    // level runs on hyperthreads — that would measure the CPU's SMT,
+    // not the engine. See BENCH/BASELINE.md.)
+    //
+    // Partitioning is FIXED across levels (the cluster analogy: the
+    // job, its plan, and its task set are identical; only executor
+    // slots change between N and 4N — exactly what changing cluster
+    // size does). min-of-2 per level; one discarded full-size run
+    // first because JIT warm-up is JVM-global.
+    val loLevel = sys.env.getOrElse("SPARK_GRAFT_BENCH_LO", "2").toInt
+    val hiLevel = sys.env.getOrElse("SPARK_GRAFT_BENCH_HI", "8").toInt
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", (2 * hiLevel).toString).toInt
+    def runLevel(level: Int, reps: Int): ReplayBench.PipelineStats = {
+      val s = session(level, parts)
+      try (1 to reps).map(_ => ReplayBench.run(s, nUrls)).minBy(_.wallSec)
+      finally s.stop()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    runLevel(hiLevel, 1) // discard: JVM-global JIT/heap warm-up
+    val hiA = runLevel(hiLevel, 1)
+    val lo = runLevel(loLevel, 2)
+    val hiB = runLevel(hiLevel, 2)
+    val hi = Seq(hiA, hiB).minBy(_.wallSec) // bracket JVM drift
+    val efficiency = (hi.throughput / lo.throughput) / (hiLevel.toDouble / loLevel)
+
+    // ---- phase 2 (run second: keeps the scaling JVM fresh): queries on the sf corpus ------------
+    val results: Map[String, Double] =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_SKIP_QUERIES")) Map.empty
+      else {
+        val s1 = session(cpus, cpus)
+        val r = SparkEntry.queries.map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          try { fn(s1, sfDir).count() } catch { case _: Throwable => -1L }
+          name -> (System.nanoTime() - t0) / 1e9
+        }
+        s1.stop()
+        r
+      }
+
+    def statsJson(p: ReplayBench.PipelineStats): String =
+      s"""{"urls":${p.urlsSeen},"scheduled":${p.scheduled},"fetched":${p.fetched},""" +
+        s""""spans":${p.spans},"sec":${f"${p.wallSec}%.3f"},"urls_per_sec":${f"${p.throughput}%.1f"}}"""
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val totalQ = results.values.sum
+    println(
+      s"""{"metric":"urls_scheduled_fetched_per_sec","value":${f"${hi.throughput}%.1f"},""" +
+        s""""unit":"urls/sec","queries":$qs,"queries_total_sec":${f"$totalQ%.3f"},""" +
+        s""""sf":"$sfDir","scaling":{"local$loLevel":${statsJson(lo)},"local$hiLevel":${statsJson(hi)},""" +
+        s""""n_lo":$loLevel,"n_hi":$hiLevel,"efficiency":${f"$efficiency%.3f"}}}""")
   }
 }

@@ -1,0 +1,153 @@
+package graft.bench
+
+import graft.extract.Extract
+import graft.gen.Fixtures
+import graft.model.Announcement
+import graft.sched.Scheduler
+import graft.seen.SeenFilter
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The measured job for the north-star metric: URLs scheduled +
+  * fetched per second over the seed-list replay pipeline, run
+  * identically at two parallelism levels (local[8] vs local[32]
+  * stands in for N vs 4N executors — BASELINE.md).
+  *
+  * This is one Catalyst-planned pass over the full scheduling
+  * pipeline — candidate generation → F1/F2 filters → first-wins
+  * dedup → partitioned-bloom + exact seen filter → robots gate →
+  * salted politeness assignment → fetch → span extraction — i.e. the
+  * steady-state inner loop of [[graft.crawl.CrawlJob]] without the
+  * per-round snapshot-commit I/O (which is checkpoint cost, not
+  * scheduling throughput; the round-loop is benched separately).
+  *
+  * Scale shape: the candidate set is ~20% duplicates (pool-bounded
+  * identities) and 10% of the key space is pre-seen, so both bloom
+  * branches and the exact anti-join do real work; all URLs share ONE
+  * host (the reference's actual workload, ST2) so the politeness
+  * stage exercises the salt fan-out rather than a comfortable
+  * multi-host spread.
+  */
+object ReplayBench {
+
+  /** Deterministic candidate announcements keyed by row id. The pool
+    * bound (0.8 × n) yields ~20% duplicate identities.
+    */
+  def candidates(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    val pool = math.max(1L, (n * 4) / 5)
+    spark.range(n).mapPartitions { it =>
+      it.map { id =>
+        val poolId = math.floorMod(Fixtures.splitmix64(id), pool)
+        val exchangeRank = (poolId % 5).toInt
+        val epochDay = 19800 + ((poolId / 5) % 30).toInt
+        val a = Fixtures.announcement(exchangeRank, epochDay, (poolId / 150).toInt, id)
+        (a.secCode, a.title, a.timeMs, a.timeStr, a.adjunctUrl, id, epochDay)
+      }
+    }.toDF("sec_code_raw", "title", "time_ms", "time_str", "adjunct_url",
+      "arrival_seq", "epoch_day")
+  }
+
+  final case class PipelineStats(urlsSeen: Long, scheduled: Long, fetched: Long,
+                                 spans: Long, wallSec: Double,
+                                 stageSec: Map[String, Double] = Map.empty) {
+    def throughput: Double = (scheduled + fetched) / wallSec
+  }
+
+  /** One full pipeline pass; returns counts + wall time.
+    * `fineStages`: also time each sub-pipeline with its own action
+    * (debugging only — recomputes prefixes, inflates wall time).
+    */
+  def run(spark: SparkSession, n: Long, saltCount: Int = 64,
+          tokensPerTick: Int = 64, ticksFetchable: Long = 256,
+          bloomP: Int = 64, fineStages: Boolean = false): PipelineStats = {
+    import spark.implicits._
+    val stages = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var tPrev = System.nanoTime()
+    def mark(name: String): Unit = {
+      val now = System.nanoTime()
+      stages(name) = (now - tPrev) / 1e9
+      tPrev = now
+    }
+    val params = SeenFilter.BloomParams(1 << 18, 4)
+
+    val cand = candidates(spark, n)
+      .withColumn("url", concat(lit(Fixtures.UrlBase), col("adjunct_url")))
+      .withColumn("seen_key", concat_ws("",
+        col("sec_code_raw"), col("title"), col("time_ms"), col("time_str"),
+        col("adjunct_url")))
+
+    // Pre-seen state (~10% of the key space): in steady state this is
+    // the PREVIOUS rounds' committed seen table + sketches — an input
+    // read from the snapshot, not work this round performs. Built and
+    // materialized before the clock starts (the metric times THIS
+    // round's scheduling+fetching).
+    val preSeen = cand.where(pmod(xxhash64(col("seen_key")), lit(10)) === 0)
+      .select("seen_key").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sketches = SeenFilter.collectSketches(
+      SeenFilter.buildPartitionedBloom(preSeen, "seen_key", bloomP, params))
+    mark("state_setup")
+    val t0 = System.nanoTime()
+
+    // F1/F2 filters
+    val yearsRe = "2023|2024"
+    val kept = cand.where(
+      (col("title").rlike(yearsRe) || !col("title").rlike("\\d")) &&
+        !col("title").contains("摘要") && !col("title").contains("英文版"))
+
+    // first-wins dedup (A1): hash agg with map-side combine
+    val first = SeenFilter.firstWinsAgg(kept, Seq("seen_key"), "arrival_seq")
+
+    // bloom split + exact confirm (A6 + J1)
+    val probed = SeenFilter.probeBloom(first, "seen_key", bloomP, params, sketches)
+    val newKeys = probed.where(!col("might_be_seen")).drop("might_be_seen")
+      .unionByName(probed.where(col("might_be_seen")).drop("might_be_seen")
+        .join(preSeen, Seq("seen_key"), "left_anti"))
+
+    // robots gate (ST3)
+    val rules = Fixtures.robotsRules.toDF("host", "path_prefix", "allow")
+    val gated = Scheduler.robotsGate(
+      newKeys.withColumn("host", lit(Fixtures.Host)), rules)
+    val allowed = gated.where(!col("robots_denied"))
+
+    // politeness assignment (ST1/ST2) — one hot host, salted
+    val schedIn = allowed.select(col("url"), col("host"),
+      col("epoch_day").cast("long").as("priority"),
+      concat_ws("|", col("sec_code_raw"), col("seen_key")).as("tiebreak"))
+      .as[Scheduler.SchedIn]
+    val assigned = Scheduler.assignVirtualTicks(schedIn, saltCount, tokensPerTick, 300L)
+
+    // fetch + span extraction on the in-budget slice. The whole
+    // schedule→fetch→extract leg is ONE action; the intermediate
+    // counts come from observe() metrics instead of extra jobs or
+    // persisted stage boundaries (no cache pressure, one pipeline).
+    if (fineStages) {
+      cand.agg(count(lit(1))).collect(); mark("f_gen")
+      kept.agg(count(lit(1))).collect(); mark("f_filter")
+      first.agg(count(lit(1))).collect(); mark("f_firstwins")
+      newKeys.agg(count(lit(1))).collect(); mark("f_seen")
+      allowed.agg(count(lit(1))).collect(); mark("f_robots")
+      assigned.groupBy().count().collect(); mark("f_sched")
+    }
+    val obsSched = org.apache.spark.sql.Observation()
+    val obsFetch = org.apache.spark.sql.Observation()
+    val docs = assigned
+      .observe(obsSched, count(lit(1)).as("scheduled"))
+      .filter(_.tick_index < ticksFetchable)
+      .map { o =>
+        val d = Fixtures.docFor(o.url)
+        (d.doc_id, d.spans)
+      }.toDF("doc_id", "spans")
+      .observe(obsFetch, count(lit(1)).as("fetched"), sum(size(col("spans"))).as("spans"))
+    Extract.extractLongRows(docs).count()
+    mark("schedule_fetch_extract")
+    val scheduled = obsSched.get("scheduled").asInstanceOf[Long]
+    val fetched = obsFetch.get("fetched").asInstanceOf[Long]
+    val spans = obsFetch.get("spans").asInstanceOf[Long]
+    val wall = (System.nanoTime() - t0) / 1e9
+    preSeen.unpersist()
+    PipelineStats(n, scheduled, fetched, spans, wall, stages.toMap)
+  }
+}

@@ -162,10 +162,10 @@ object CrawlJob {
       .withColumn("seen_key", concat_ws("",
         col("sec_code_raw"), col("title"), col("time_ms"), col("time_str"), col("adjunct_url")))
 
-    // ---- 3. within-batch first-wins (A1) ----------------------------
-    val w = Window.partitionBy("seen_key").orderBy("arrival_seq")
-    val batchFirst = kept
-      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+    // ---- 3. within-batch first-wins (A1) — hash aggregate with
+    // map-side combine (not a window: dup-heavy batches shrink
+    // before the exchange)
+    val batchFirst = SeenFilter.firstWinsAgg(kept, Seq("seen_key"), "arrival_seq")
 
     // ---- 4. bloom pre-filter + exact anti-join vs seen --------------
     val seenPrev = log.readTable(spark, snap, SeenTable)
@@ -181,7 +181,6 @@ object CrawlJob {
     }
     val newUniqueDf = definitelyNew.unionByName(confirmedNew)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val batchFirstCnt = batchFirst.count()
     val newUnique = newUniqueDf.count()
     val dupDropped = urlsSeenCnt - filtered - newUnique
 

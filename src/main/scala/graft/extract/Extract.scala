@@ -85,31 +85,43 @@ object Extract {
     * item, report_info_collection.py:188-190).
     */
   def extractLongRows(docs: DataFrame): DataFrame = {
-    val exploded = docs
-      .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))
-      .select(col("doc_id"), col("pos"),
-        col("span.kind").as("kind"),
-        normalizeText(col("span.text")).as("ntext"),
-        col("span.offset").as("offset"))
-    val w = Window.partitionBy("doc_id").orderBy("offset")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val catMarker = Extract.Categories.foldRight(lit(null).cast("string")) { (c, acc) =>
-      when(col("kind") === "text" && col("ntext").contains(c) &&
-        !col("ntext").contains(TargetKeyword), lit(c)).otherwise(acc)
-    }
-    exploded
-      .withColumn("cat_marker", catMarker)
-      .withColumn("parent_cat", last("cat_marker", ignoreNulls = true).over(w))
-      .where(col("kind") === "text" && col("ntext").contains(TargetKeyword))
-      .where(col("parent_cat").isNotNull)
-      .select(
-        col("doc_id"),
-        col("parent_cat").as("item"),
-        coalesce(
-          extractFirstNumber(substring_index(col("ntext"), TargetKeyword, -1)),
-          lit("0")).as("amount_str"),
-        lit("table_scan").as("method"),
-        col("offset"))
+    // Single NARROW pass: the per-document "nearest prior category
+    // header" scan is a left fold over the spans array (higher-order
+    // aggregate), not a posexplode + window — no shuffle at all, and
+    // each document's state is one (current_category, emitted) pair.
+    // At the 10^10 design point this is the difference between a
+    // map-only stage and re-sorting every span row by doc_id.
+    val outType = "array<struct<item:string,amount_str:string,offset:int>>"
+    val folded = aggregate(
+      array_sort(col("spans"), (l, r) => l.getField("offset") - r.getField("offset")),
+      struct(lit(null).cast("string").as("cat"),
+        array().cast(outType).as("out")),
+      (acc, s) => {
+        val n = normalizeText(s.getField("text"))
+        val isText = s.getField("kind") === "text"
+        val hasK = n.contains(TargetKeyword)
+        // category marker: first matching category, in Categories
+        // order; keyword rows never mark (reference scans upward for
+        // a non-keyword row — report_info_collection.py:122-139)
+        val marker = Categories.foldRight(lit(null).cast("string")) { (c, alt) =>
+          when(isText && !hasK && n.contains(c), lit(c)).otherwise(alt)
+        }
+        val amount = coalesce(
+          extractFirstNumber(substring_index(n, TargetKeyword, -1)), lit("0"))
+        val emit = isText && hasK && acc.getField("cat").isNotNull
+        val newOut = when(emit,
+          concat(acc.getField("out"), array(struct(
+            acc.getField("cat").as("item"), amount.as("amount_str"),
+            s.getField("offset").as("offset")))))
+          .otherwise(acc.getField("out"))
+        struct(coalesce(marker, acc.getField("cat")).as("cat"), newOut.as("out"))
+      },
+      acc => acc.getField("out"))
+    docs
+      .select(col("doc_id"), explode(folded).as("r"))
+      .select(col("doc_id"), col("r.item").as("item"),
+        col("r.amount_str").as("amount_str"),
+        lit("table_scan").as("method"), col("r.offset").as("offset"))
   }
 
   /** J5: dense long output — every (doc, category) pair present,

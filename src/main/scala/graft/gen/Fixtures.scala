@@ -35,15 +35,55 @@ object Fixtures {
     x ^ (x >>> 31)
   }
 
+  /** Allocation-lean mixing: numbers are hashed directly (no
+    * toString) — this runs a few dozen times per URL on the executor
+    * hot path, where Formatter/toString churn shows up as GC time.
+    */
   def hashKey(parts: Any*): Long = {
     var h = 0x51_7cc1b727220a95L
     parts.foreach { p =>
-      val s = p.toString
-      var i = 0
-      while (i < s.length) { h = splitmix64(h ^ s.charAt(i).toLong); i += 1 }
+      p match {
+        case s: String =>
+          var i = 0
+          while (i < s.length) { h = splitmix64(h ^ s.charAt(i).toLong); i += 1 }
+        case i: Int => h = splitmix64(h ^ i.toLong)
+        case l: Long => h = splitmix64(h ^ l)
+        case other =>
+          val s = other.toString
+          var i = 0
+          while (i < s.length) { h = splitmix64(h ^ s.charAt(i).toLong); i += 1 }
+      }
       h = splitmix64(h ^ 0x1f)
     }
     h
+  }
+
+  /** Comma-grouped decimal rendering without java.util.Formatter. */
+  def groupedInt(v: Long): String = {
+    val s = v.toString
+    if (s.length <= 3) s
+    else {
+      val sb = new java.lang.StringBuilder(s.length + s.length / 3)
+      val head = s.length % 3
+      var i = 0
+      if (head > 0) { sb.append(s, 0, head); i = head }
+      while (i < s.length) {
+        if (sb.length > 0) sb.append(',')
+        sb.append(s, i, i + 3); i += 3
+      }
+      sb.toString
+    }
+  }
+
+  def pad(v: Long, width: Int): String = {
+    val s = v.toString
+    if (s.length >= width) s
+    else ("0" * (width - s.length)) + s
+  }
+
+  def hex4(v: Long): String = {
+    val s = java.lang.Long.toHexString(v)
+    if (s.length >= 4) s else ("0" * (4 - s.length)) + s
   }
 
   /** Non-negative bounded draw. */
@@ -108,7 +148,7 @@ object Fixtures {
     val h = hashKey("ann", exchangeRank, epochDay, poolId)
     val codeNum = math.floorMod(h, 999999L).toInt + 1
     val prefix = Seq("60", "68", "00", "30", "83", "43", "99")(draw(7, "px", exchangeRank, epochDay, poolId))
-    val secCode = prefix + f"${codeNum % 10000}%04d"
+    val secCode = prefix + pad(codeNum % 10000, 4)
     val titleKind = draw(8, "tt", exchangeRank, epochDay, poolId)
     val title = titleKind match {
       case 0 => s"${2023 + poolId % 2}年年度报告"
@@ -124,10 +164,11 @@ object Fixtures {
       if (draw(2, "tu", exchangeRank, epochDay, poolId) == 0) (tsMs, null: String)
       else {
         val d = java.time.LocalDate.ofEpochDay(epochDay.toLong)
-        (-1L, f"$d ${math.floorMod(h, 24)}%02d:00:00")
+        (-1L, s"$d ${pad(math.floorMod(h, 24), 2)}:00:00")
       }
     val adjunct = privatize(
-      f"$epochDay%d/${exchangeRank}%d-$poolId%04d-${math.floorMod(h, 0xffff)}%04x.pdf",
+      s"$epochDay/$exchangeRank-${pad(poolId.toLong, 4)}-" +
+        s"${hex4(math.floorMod(h, 0xffff))}.pdf",
       exchangeRank, epochDay, poolId)
     Announcement(secCode, s"公司$codeNum", title, timeMs, timeStr, adjunct, seq)
   }
@@ -165,10 +206,10 @@ object Fixtures {
         val style = draw(4, "as", url, i)
         val base = 100 + draw(999900, "av", url, i)
         val amt = style match {
-          case 0 => f"${base / 100}%,d.${base % 100}%02d"  // grouped 2dp
-          case 1 => (base / 100).toString                   // plain int
-          case 2 => "N/A"                                   // sentinel
-          case _ => f"${base / 100}%,d"                     // grouped int
+          case 0 => groupedInt(base / 100) + "." + pad(base % 100, 2) // grouped 2dp
+          case 1 => (base / 100).toString                             // plain int
+          case 2 => "N/A"                                             // sentinel
+          case _ => groupedInt(base / 100)                            // grouped int
         }
         Span("text", s"其中：数据资源 | $amt | 元", null, i)
       } else if (kind < 7) { // media span

@@ -29,13 +29,21 @@ object DedupOps {
     docs.groupBy(md5(col(textCol)).as("text_md5"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Distinct character n-gram shingles per doc: (id, shingle). */
+  /** Distinct WORD n-gram shingles per doc: (id, shingle).
+    *
+    * Word shingles, not character shingles, deliberately: character
+    * 3-grams over natural text have a tiny distinct domain with huge
+    * document frequency, so the candidate self-join explodes
+    * quadratically (measured on the sf0.1 corpus: 377 distinct char
+    * shingles → 2.2e9 join rows, vs 27k word shingles → 2.8e6).
+    * Stopword-shingle frequency capping (maxDf) is the second guard.
+    */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol), col(textCol).as("__t"))
-      .where(length(col("__t")) >= n)
-      .select(col(idCol), explode(sequence(lit(1), length(col("__t")) - (n - 1))).as("pos"),
+    docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
+      .where(size(col("__t")) >= n)
+      .select(col(idCol), explode(sequence(lit(1), size(col("__t")) - (n - 1))).as("pos"),
         col("__t"))
-      .select(col(idCol), expr(s"substring(__t, pos, $n)").as("shingle"))
+      .select(col(idCol), array_join(slice(col("__t"), col("pos"), lit(n)), " ").as("shingle"))
       .distinct()
 
   /** n-gram Jaccard near-dup pairs with similarity ≥ num/den
@@ -75,22 +83,29 @@ object DedupOps {
     * h_i(s) = md5(i ‖ ':' ‖ s), the signature is the min hash over
     * the doc's shingles. Returns (id, band, sig) where sig is the
     * concatenation of the band's `rows` min-hashes.
+    *
+    * Plan shape: ONE groupBy(id) with bands×rows min() aggregates
+    * directly over the shingle rows — no hash-index explode (which
+    * would multiply the shuffle by bands×rows) and map-side partial
+    * aggregation reduces each partition to one row per doc before the
+    * exchange. The per-band signature string is then a pure
+    * projection; bands are unpivoted with one small explode over
+    * `bands` elements per doc row.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, bands: Int, rows: Int): DataFrame = {
     val sh = shingles(docs, idCol, textCol, n)
-    val hashed = sh
-      .select(col(idCol), explode(sequence(lit(0), lit(bands * rows - 1))).as("h"),
-        col("shingle"))
-      .select(col(idCol), col("h"),
-        md5(concat(col("h").cast("string"), lit(":"), col("shingle"))).as("hv"))
-    hashed.groupBy(col(idCol), col("h")).agg(min("hv").as("mh"))
-      // integer division (DuckDB CAST(x/4 AS INT) would ROUND —
-      // keep both engines on explicit floor division)
-      .withColumn("band", floor(col("h") / rows).cast("int"))
-      .groupBy(col(idCol), col("band"))
-      // deterministic order inside the band signature:
-      .agg(concat_ws("|", sort_array(collect_list(concat_ws("=", col("h"), col("mh"))))).as("sig"))
+    val minCols = (0 until bands * rows).map(h =>
+      min(md5(concat(lit(s"$h:"), col("shingle")))).as(s"mh$h"))
+    val sigs = sh.groupBy(col(idCol)).agg(minCols.head, minCols.tail: _*)
+    val bandStructs = (0 until bands).map { b =>
+      val entries = (b * rows until (b + 1) * rows).map(h =>
+        concat_ws("=", lit(h), col(s"mh$h")))
+      struct(lit(b).as("band"),
+        concat_ws("|", sort_array(array(entries: _*))).as("sig"))
+    }
+    sigs.select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
   /** MinHash+LSH candidate pairs: docs sharing any full band
@@ -114,17 +129,18 @@ object DedupOps {
     * Returns (id, simhash: long).
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // ONE groupBy(id) with 32 sum() aggregates over the token rows —
+    // no 32× bit-index explode; map-side combine collapses each
+    // partition to one row per doc before the exchange.
     val toks = docs.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
       .withColumn("h", md5(col("tok")))
-    val bits = toks
-      .select(col(idCol), explode(sequence(lit(0), lit(31))).as("j"), col("h"))
-      .select(col(idCol), col("j"),
-        (ascii(expr("substring(h, j + 1, 1)")) % 2 * 2 - 1).as("contrib"))
-      .groupBy(col(idCol), col("j"))
-      .agg(sum("contrib").as("s"))
-      .withColumn("bit", when(col("s") > 0, 1L).otherwise(0L))
-    bits.groupBy(col(idCol))
-      .agg(sum(col("bit") * expr("shiftleft(CAST(1 AS BIGINT), j)")).as("simhash"))
+    val sumCols = (0 until 32).map(j =>
+      sum(ascii(substring(col("h"), j + 1, 1)) % 2 * 2 - 1).as(s"s$j"))
+    val fp = (0 until 32).map(j =>
+      when(col(s"s$j") > 0, 1L << j).otherwise(0L)).reduce(_ + _)
+    toks.groupBy(col(idCol))
+      .agg(sumCols.head, sumCols.tail: _*)
+      .select(col(idCol), fp.as("simhash"))
   }
 
   /** SimHash near-dup pairs within `maxHamming`, blocked on 4 byte

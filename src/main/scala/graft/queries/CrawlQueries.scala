@@ -95,7 +95,61 @@ object CrawlQueries {
     // batching and partition shape are the real thing).
     "mm_media_meta" -> ((s, d) =>
       graft.ops.MultimodalOps.decodeMeta(
-        graft.ops.MultimodalOps.deriveMedia(Tables.load(s, d, "documents")))))
+        graft.ops.MultimodalOps.deriveMedia(Tables.load(s, d, "documents")))),
+
+    // End-to-end frontier replay (rows-only: the stateful round loop
+    // is not one SQL statement; its semantics are golden-tested in
+    // ScalaTest against the collections oracle). Runs the full crawl
+    // to exhaustion in a temp snapshot dir and returns the final
+    // postprocessed report.
+    "crawl_replay" -> ((s, _) => {
+      val cfg = graft.crawl.CrawlJob.Config(
+        saltCount = 4, tokensPerTick = 8, ticksPerRound = 4, bloomP = 8)
+      val seeds = graft.crawl.CrawlJob.expandSeeds(19830, 19831)
+      val root = java.nio.file.Files.createTempDirectory("crawl-replay-q").toString
+      graft.crawl.CrawlJob.run(s, seeds, cfg, root)
+      graft.crawl.CrawlJob.finalReport(s, new graft.snapshot.SnapshotLog(root), cfg)
+    }),
+
+    // The interleaved-spans extraction operator (E-arr1/2, F7,
+    // E-str4/6) — the input_hint table shape end-to-end: derived
+    // spans array → higher-order fold → long rows, vs a pure-SQL
+    // window restatement in DuckDB.
+    "extract_long_rows" -> ((s, d) =>
+      Extract.extractLongRows(deriveSpanDocs(s, d))
+        .select(col("doc_id"), col("item"), col("amount_str"), col("method"),
+          col("offset").cast("long").as("offset"))))
+
+  /** Deterministic interleaved-docs derivation from the `documents`
+    * table: 6 spans per doc mixing category headers, keyword rows
+    * (amounts in every messy reference format), media refs, and
+    * noise — engine-portable (md5/ascii/modulo only).
+    */
+  def deriveSpanDocs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents").select(col("doc_id"),
+      transform(sequence(lit(0), lit(5)), i => {
+        val m = md5(concat(col("doc_id").cast("string"), lit(":"), i.cast("string")))
+        val b = ascii(substring(m, 1, 1)) % 10
+        val c = ascii(substring(m, 2, 1)) % 3
+        val st = ascii(substring(m, 3, 1)) % 4
+        val v1 = ascii(substring(m, 4, 1)) * 7 % 900 + 100
+        val v2 = ascii(substring(m, 5, 1)) * 13 % 1000
+        val catName = when(c === 0, "存货").when(c === 1, "无形资产").otherwise("开发支出")
+        val grouped = concat(v1.cast("string"), lit(","), lpad(v2.cast("string"), 3, "0"))
+        val amt = when(st === 0, concat(grouped, lit(".25")))
+          .when(st === 1, v1.cast("string"))
+          .when(st === 2, lit("N/A"))
+          .otherwise(grouped)
+        val text = when(b < 2, concat(lit("第"), i.cast("string"), lit("节 "), catName, lit("明细")))
+          .when(b < 5, concat(lit("其中：数据资源 | "), amt, lit(" | 元")))
+          .when(b < 7, lit(null).cast("string"))
+          .otherwise(concat(lit("补充说明"), v1.cast("string")))
+        val kind = when(b < 5 || b >= 7, lit("text")).otherwise(lit("media"))
+        val mref = when(b >= 5 && b < 7, concat(lit("media://"), m))
+          .otherwise(lit(null).cast("string"))
+        struct(kind.as("kind"), text.as("text"), mref.as("media_ref"),
+          i.cast("int").as("offset"))
+      }).as("spans"))
 
   /** Long-row derivation for crawl_wide_report: 3 categories × 2
     * arrival reps per doc, amounts mixing sentinels, grouped decimals
@@ -233,5 +287,57 @@ object CrawlQueries {
         |SELECT wide.doc_id, "存货", "无形资产", "开发支出", has_data_resource
         |FROM wide JOIN flags ON wide.doc_id = flags.doc_id""".stripMargin,
 
-    "mm_media_meta" -> graft.ops.MultimodalOps.oracleSql)
+    "mm_media_meta" -> graft.ops.MultimodalOps.oracleSql,
+
+    "extract_long_rows" ->
+      """WITH cells AS (
+        | SELECT doc_id, i AS off,
+        |  md5(concat(CAST(doc_id AS VARCHAR), ':', CAST(i AS VARCHAR))) AS m
+        | FROM documents, (SELECT unnest(generate_series(0,5)) AS i)),
+        |f AS (
+        | SELECT doc_id, off, m, ascii(substr(m,1,1)) % 10 AS b,
+        |  ascii(substr(m,2,1)) % 3 AS c, ascii(substr(m,3,1)) % 4 AS st,
+        |  ascii(substr(m,4,1)) * 7 % 900 + 100 AS v1, ascii(substr(m,5,1)) * 13 % 1000 AS v2
+        | FROM cells),
+        |spans AS (
+        | SELECT doc_id, off,
+        |  CASE WHEN b < 5 OR b >= 7 THEN 'text' ELSE 'media' END AS kind,
+        |  CASE WHEN b < 2 THEN concat('第', CAST(off AS VARCHAR), '节 ',
+        |        CASE c WHEN 0 THEN '存货' WHEN 1 THEN '无形资产' ELSE '开发支出' END, '明细')
+        |       WHEN b < 5 THEN concat('其中：数据资源 | ',
+        |        CASE st WHEN 0 THEN concat(CAST(v1 AS VARCHAR), ',', lpad(CAST(v2 AS VARCHAR),3,'0'), '.25')
+        |                WHEN 1 THEN CAST(v1 AS VARCHAR)
+        |                WHEN 2 THEN 'N/A'
+        |                ELSE concat(CAST(v1 AS VARCHAR), ',', lpad(CAST(v2 AS VARCHAR),3,'0')) END, ' | 元')
+        |       WHEN b < 7 THEN NULL
+        |       ELSE concat('补充说明', CAST(v1 AS VARCHAR)) END AS text
+        | FROM f),
+        |norm AS (
+        | SELECT doc_id, off, kind,
+        |  regexp_replace(replace(text, ':', '：'), '\s+', '', 'g') AS n
+        | FROM spans),
+        |marked AS (
+        | SELECT *,
+        |  CASE WHEN kind = 'text' AND NOT contains(n, '其中：数据资源') THEN
+        |   CASE WHEN contains(n, '存货') THEN '存货'
+        |        WHEN contains(n, '无形资产') THEN '无形资产'
+        |        WHEN contains(n, '开发支出') THEN '开发支出' END END AS marker
+        | FROM norm),
+        |parents AS (
+        | SELECT *, last_value(marker IGNORE NULLS) OVER
+        |   (PARTITION BY doc_id ORDER BY off ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS parent_cat
+        | FROM marked),
+        |kw AS (
+        | SELECT doc_id, parent_cat AS item,
+        |  list_extract(string_split(n, '其中：数据资源'), 2) AS after, off
+        | FROM parents WHERE kind = 'text' AND contains(n, '其中：数据资源') AND parent_cat IS NOT NULL)
+        |SELECT doc_id, item,
+        | coalesce(
+        |  nullif(regexp_extract(after, '\d{1,3}(,\d{3})+\.\d{2}', 0), ''),
+        |  nullif(regexp_extract(after, '\d{1,3}(,\d{3})+\.\d+', 0), ''),
+        |  nullif(regexp_extract(after, '\d{1,3}(,\d{3})+', 0), ''),
+        |  nullif(regexp_extract(after, '\d+\.\d+', 0), ''),
+        |  nullif(regexp_extract(after, '\d+', 0), ''), '0') AS amount_str,
+        | 'table_scan' AS method, CAST(off AS BIGINT) AS offset
+        |FROM kw""".stripMargin)
 }

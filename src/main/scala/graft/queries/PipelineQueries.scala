@@ -83,9 +83,10 @@ object PipelineQueries {
 
     "dedup_ngram_jaccard" ->
       """WITH sh AS (
-        | SELECT DISTINCT doc_id, substring(text, i, 3) AS shingle
-        | FROM (SELECT doc_id, text, unnest(generate_series(1, length(text)-2)) AS i
-        |       FROM documents WHERE length(text) >= 3)),
+        | SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+        | FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
+        |       FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents)
+        |       WHERE len(t) >= 3)),
         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |shared AS (
         | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
@@ -97,9 +98,10 @@ object PipelineQueries {
 
     "dedup_minhash_lsh" ->
       """WITH sh AS (
-        | SELECT DISTINCT doc_id, substring(text, i, 3) AS shingle
-        | FROM (SELECT doc_id, text, unnest(generate_series(1, length(text)-2)) AS i
-        |       FROM documents WHERE length(text) >= 3)),
+        | SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+        | FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
+        |       FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents)
+        |       WHERE len(t) >= 3)),
         |hashed AS (
         | SELECT doc_id, h, md5(concat(CAST(h AS VARCHAR), ':', shingle)) AS hv
         | FROM (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS h FROM sh)),

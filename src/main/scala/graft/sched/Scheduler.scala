@@ -68,25 +68,36 @@ object Scheduler {
     else math.floorMod(scala.util.hashing.MurmurHash3.stringHash(url), saltCount)
 
   /** ST3: robots.txt gate. `rules` is a small (host, path_prefix,
-    * allow) table, broadcast-joined; longest matching prefix decides,
-    * no match ⇒ allowed. Returns the input plus `robots_denied`.
+    * allow) table — collected once, broadcast, and matched per row
+    * with longest-prefix-wins; no match ⇒ allowed. Returns the input
+    * plus `robots_denied`.
+    *
+    * Deliberately a NARROW op (broadcast + per-row match), not a
+    * prefix-join: a rules table is robots.txt-sized (thousands of
+    * rows across hosts), while tasks are the 10^10-scale side — a
+    * join would shuffle the big side for nothing; this touches it
+    * in place.
     */
   def robotsGate(tasks: DataFrame, rules: DataFrame): DataFrame = {
-    val r = broadcast(rules.select(
-      col("host").as("r_host"), col("path_prefix"), col("allow")))
-    val rest = substring_index(col("url"), "://", -1)
-    val withPath = tasks.withColumn("__path",
-      when(instr(rest, "/") > 0, rest.substr(instr(rest, "/"), length(rest)))
-        .otherwise(lit("/")))
-    // match + longest-prefix-wins
-    val joined = withPath.join(r,
-      col("host") === col("r_host") && col("__path").startsWith(col("path_prefix")),
-      "left_outer")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("url").orderBy(length(col("path_prefix")).desc_nulls_last)
-    joined
-      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
-      .withColumn("robots_denied", coalesce(!col("allow"), lit(false)))
-      .drop("__rn", "__path", "r_host", "path_prefix", "allow")
+    val byHost: Map[String, Seq[(String, Boolean)]] = rules
+      .select(col("host"), col("path_prefix"), col("allow"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+      .groupBy(_._1)
+      .view.mapValues(_.map(t => (t._2, t._3)).sortBy(-_._1.length).toSeq)
+      .toMap
+    val bc = tasks.sparkSession.sparkContext.broadcast(byHost)
+    val denied = udf { (host: String, url: String) =>
+      bc.value.get(host) match {
+        case None => false
+        case Some(prefixes) =>
+          val rest = { val i = url.indexOf("://"); if (i < 0) url else url.substring(i + 3) }
+          val slash = rest.indexOf('/')
+          val path = if (slash >= 0) rest.substring(slash) else "/"
+          prefixes.collectFirst { case (p, allow) if path.startsWith(p) => !allow }
+            .getOrElse(false)
+      }
+    }
+    tasks.withColumn("robots_denied", denied(col("host"), col("url")))
   }
 }

@@ -33,6 +33,20 @@ object SeenFilter {
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 
+  /** [[firstWins]] as a hash aggregate: min_by(row, seq) per key.
+    * Same semantics when `seqCol` is unique per key (the crawl's
+    * arrival ordinal is), but with MAP-SIDE PARTIAL AGGREGATION —
+    * each partition pre-collapses its duplicates before the
+    * exchange, where the window variant must shuffle+sort every raw
+    * row. The scalable choice for dup-heavy frontiers.
+    */
+  def firstWinsAgg(df: DataFrame, keyCols: Seq[String], seqCol: String): DataFrame = {
+    val others = df.columns.filterNot(keyCols.contains)
+    val packed = df.groupBy(keyCols.map(col): _*)
+      .agg(min_by(struct(others.map(col): _*), col(seqCol)).as("__row"))
+    packed.select(keyCols.map(col) ++ others.map(c => col(s"__row.$c").as(c)): _*)
+  }
+
   /** J1: exact not-seen filter — candidates whose key is absent from
     * the seen table. Catalyst plans a shuffled (or broadcast, when
     * seen is small) left-anti hash join.
@@ -114,15 +128,29 @@ object SeenFilter {
     def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   }
 
-  /** Build per-partition sketches: (bloom_pid, bits). One shuffle on
-    * the stable partition id; map-side partial aggregation combines
-    * sketches before the exchange.
+  /** Build per-partition sketches: (bloom_pid, bits). One hash
+    * exchange on the stable partition id, then a tight imperative
+    * per-partition build (mapPartitions) — all rows of a pid land in
+    * one task, so each sketch is built exactly once with zero buffer
+    * serialization. (A udaf(Aggregator) formulation is semantically
+    * identical but pays an encoder round-trip of the multi-KB bit
+    * array per input row — measured 10-50× slower; see BloomAgg.)
     */
   def buildPartitionedBloom(seen: DataFrame, urlCol: String, p: Int,
                             params: BloomParams): DataFrame = {
-    val agg = udaf(new BloomAgg(params))
-    seen.groupBy(bloomPartition(col(urlCol), p).as("bloom_pid"))
-      .agg(agg(col(urlCol)).as("bits"))
+    val spark = seen.sparkSession
+    import spark.implicits._
+    seen
+      .select(bloomPartition(col(urlCol), p).as("bloom_pid"), col(urlCol).as("__url"))
+      .repartition(col("bloom_pid"))
+      .mapPartitions { it =>
+        val sketches = scala.collection.mutable.LongMap.empty[Array[Long]]
+        it.foreach { r =>
+          val bits = sketches.getOrElseUpdate(r.getLong(0), new Array[Long](params.numBits / 64))
+          setBits(bits, params, r.getString(1))
+        }
+        sketches.iterator.map { case (pid, bits) => (pid, bits) }
+      }.toDF("bloom_pid", "bits")
   }
 
   /** Probe: candidates → (row, might_be_seen). The sketch map is a

@@ -1,0 +1,79 @@
+package graft
+
+import graft.streaming.StreamingCrawl
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Streaming variants (SURVEY.md §2.9): watermarked first-wins dedup
+  * (ST5), per-day tumbling counts (ST6), and the stateful token
+  * bucket (ST1) — driven through MemoryStream micro-batches so the
+  * cross-batch state behavior is what's under test.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(day: Int, hour: Int): Timestamp =
+    Timestamp.valueOf(f"2024-06-$day%02d $hour%02d:00:00")
+
+  test("ST5: dropDuplicatesWithinWatermark keeps first occurrence across batches") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[(Timestamp, String, Long)]
+    val df = in.toDF().toDF("announce_ts", "seen_key", "arrival")
+    val q = StreamingCrawl.dedupWithinWatermark(df)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(10, 1), "k1", 1L), (ts(10, 2), "k2", 2L))
+      q.processAllAvailable()
+      in.addData((ts(10, 3), "k1", 3L), (ts(10, 4), "k3", 4L)) // k1 is a dup
+      q.processAllAvailable()
+      val got = s.sql("SELECT seen_key, arrival FROM dedup_out").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == Map("k1" -> 1L, "k2" -> 2L, "k3" -> 4L))
+    } finally q.stop()
+  }
+
+  test("ST6: 1-day tumbling windows partition the announcement stream") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val df = in.toDF().toDF("announce_ts", "seen_key")
+    val q = StreamingCrawl.dailyCounts(df)
+      .writeStream.format("memory").queryName("daily_out")
+      .outputMode("complete").start()
+    try {
+      in.addData((ts(10, 1), "a"), (ts(10, 9), "b"), (ts(11, 5), "c"))
+      q.processAllAvailable()
+      val got = s.sql("SELECT CAST(day AS DATE), n_announcements FROM daily_out").collect()
+        .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      assert(got == Map("2024-06-10" -> 2L, "2024-06-11" -> 1L))
+    } finally q.stop()
+  }
+
+  test("ST1: token-bucket state carries across micro-batches") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[StreamingCrawl.StreamTask]
+    val out = StreamingCrawl.politenessStream(in.toDS(), saltCount = 1,
+      tokensPerTick = 2, tickMs = 300)
+    val q = out.writeStream.format("memory").queryName("sched_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        StreamingCrawl.StreamTask("u1", "h", 1),
+        StreamingCrawl.StreamTask("u2", "h", 2),
+        StreamingCrawl.StreamTask("u3", "h", 3))
+      q.processAllAvailable()
+      // batch 1: u1,u2 → tick 0; u3 → tick 1 (bucket of 2/tick)
+      in.addData(StreamingCrawl.StreamTask("u4", "h", 4))
+      q.processAllAvailable()
+      // batch 2 continues from state: tick 1 has 1 slot left → u4 at tick 1
+      val got = s.sql("SELECT url, tick_index, scheduled_ms FROM sched_out").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == Map(
+        "u1" -> (0L, 0L), "u2" -> (0L, 0L),
+        "u3" -> (1L, 300L), "u4" -> (1L, 300L)))
+    } finally q.stop()
+  }
+}
