@@ -118,7 +118,28 @@ object CrawlQueries {
     "extract_long_rows" -> ((s, d) =>
       Extract.extractLongRows(deriveSpanDocs(s, d))
         .select(col("doc_id"), col("item"), col("amount_str"), col("method"),
-          col("offset").cast("long").as("offset"))))
+          col("offset").cast("long").as("offset"))),
+
+    // J5 dense-categories join + A4 first-positive dedup + J4
+    // unit-multiplier broadcast dim + E-math1 exact decimal rescale:
+    // every (doc, category) appears exactly once, amount 0 when the
+    // extraction found nothing, scaled by a per-key multiplier.
+    "crawl_dense_rescale" -> ((s, d) => {
+      import s.implicits._
+      val docs = deriveSpanDocs(s, d)
+      val longRows = Extract.extractLongRows(docs)
+      val deduped = graft.report.Report.firstPositiveElseFirst(
+        longRows, Seq("doc_id", "item"), "amount_str", "offset")
+      val dense = Extract.denseLongRows(docs.select("doc_id"), deduped)
+      val dim = Seq((0L, 1000000L), (1L, 1000L)).toDF("mod7", "multiplier")
+      dense
+        .join(broadcast(dim), col("doc_id") % 7 === col("mod7"), "left_outer")
+        .select(col("doc_id"), col("item"), col("item_rank").cast("long").as("item_rank"),
+          col("amount_str"), col("has_data_resource"),
+          coalesce(col("multiplier"), lit(1L)).as("multiplier"),
+          (Extract.parseAmount(col("amount_str")) *
+            coalesce(col("multiplier"), lit(1L)) * 1000).cast("long").as("amount_milli"))
+    }))
 
   /** Deterministic interleaved-docs derivation from the `documents`
     * table: 6 spans per doc mixing category headers, keyword rows
@@ -187,6 +208,64 @@ object CrawlQueries {
       |        CAST(CAST(regexp_extract(props, '[0-9]+') AS BIGINT) % 20 AS VARCHAR)) AS url,
       | concat('h', CAST((user_id % 300) % 5 AS VARCHAR)) AS host
       |FROM events""".stripMargin
+
+  /** Shared DuckDB CTE chain: derived spans → normalized text →
+    * category markers → nearest-prior-parent window → keyword rows
+    * (`kw(doc_id, item, after, off)`), mirroring deriveSpanDocs +
+    * Extract.extractLongRows.
+    */
+  private val spanCtes: String =
+    """cells AS (
+      | SELECT doc_id, i AS off,
+      |  md5(concat(CAST(doc_id AS VARCHAR), ':', CAST(i AS VARCHAR))) AS m
+      | FROM documents, (SELECT unnest(generate_series(0,5)) AS i)),
+      |f AS (
+      | SELECT doc_id, off, m, ascii(substr(m,1,1)) % 10 AS b,
+      |  ascii(substr(m,2,1)) % 3 AS c, ascii(substr(m,3,1)) % 4 AS st,
+      |  ascii(substr(m,4,1)) * 7 % 900 + 100 AS v1, ascii(substr(m,5,1)) * 13 % 1000 AS v2
+      | FROM cells),
+      |spans AS (
+      | SELECT doc_id, off,
+      |  CASE WHEN b < 5 OR b >= 7 THEN 'text' ELSE 'media' END AS kind,
+      |  CASE WHEN b < 2 THEN concat('第', CAST(off AS VARCHAR), '节 ',
+      |        CASE c WHEN 0 THEN '存货' WHEN 1 THEN '无形资产' ELSE '开发支出' END, '明细')
+      |       WHEN b < 5 THEN concat('其中：数据资源 | ',
+      |        CASE st WHEN 0 THEN concat(CAST(v1 AS VARCHAR), ',', lpad(CAST(v2 AS VARCHAR),3,'0'), '.25')
+      |                WHEN 1 THEN CAST(v1 AS VARCHAR)
+      |                WHEN 2 THEN 'N/A'
+      |                ELSE concat(CAST(v1 AS VARCHAR), ',', lpad(CAST(v2 AS VARCHAR),3,'0')) END, ' | 元')
+      |       WHEN b < 7 THEN NULL
+      |       ELSE concat('补充说明', CAST(v1 AS VARCHAR)) END AS text
+      | FROM f),
+      |norm AS (
+      | SELECT doc_id, off, kind,
+      |  regexp_replace(replace(text, ':', '：'), '\s+', '', 'g') AS n
+      | FROM spans),
+      |marked AS (
+      | SELECT *,
+      |  CASE WHEN kind = 'text' AND NOT contains(n, '其中：数据资源') THEN
+      |   CASE WHEN contains(n, '存货') THEN '存货'
+      |        WHEN contains(n, '无形资产') THEN '无形资产'
+      |        WHEN contains(n, '开发支出') THEN '开发支出' END END AS marker
+      | FROM norm),
+      |parents AS (
+      | SELECT *, last_value(marker IGNORE NULLS) OVER
+      |   (PARTITION BY doc_id ORDER BY off ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS parent_cat
+      | FROM marked),
+      |kw AS (
+      | SELECT doc_id, parent_cat AS item,
+      |  list_extract(string_split(n, '其中：数据资源'), 2) AS after, off
+      | FROM parents WHERE kind = 'text' AND contains(n, '其中：数据资源') AND parent_cat IS NOT NULL)""".stripMargin
+
+  /** First-number regex ladder over the post-keyword text (E-str6). */
+  private val ladderSql: String =
+    """coalesce(
+      |  nullif(regexp_extract(after, '\d{1,3}(,\d{3})+\.\d{2}', 0), ''),
+      |  nullif(regexp_extract(after, '\d{1,3}(,\d{3})+\.\d+', 0), ''),
+      |  nullif(regexp_extract(after, '\d{1,3}(,\d{3})+', 0), ''),
+      |  nullif(regexp_extract(after, '\d+\.\d+', 0), ''),
+      |  nullif(regexp_extract(after, '\d+', 0), ''), '0')""".stripMargin
+
 
   val oracles: Map[String, String] = Map(
     "crawl_postprocess" ->
@@ -290,54 +369,36 @@ object CrawlQueries {
     "mm_media_meta" -> graft.ops.MultimodalOps.oracleSql,
 
     "extract_long_rows" ->
-      """WITH cells AS (
-        | SELECT doc_id, i AS off,
-        |  md5(concat(CAST(doc_id AS VARCHAR), ':', CAST(i AS VARCHAR))) AS m
-        | FROM documents, (SELECT unnest(generate_series(0,5)) AS i)),
-        |f AS (
-        | SELECT doc_id, off, m, ascii(substr(m,1,1)) % 10 AS b,
-        |  ascii(substr(m,2,1)) % 3 AS c, ascii(substr(m,3,1)) % 4 AS st,
-        |  ascii(substr(m,4,1)) * 7 % 900 + 100 AS v1, ascii(substr(m,5,1)) * 13 % 1000 AS v2
-        | FROM cells),
-        |spans AS (
-        | SELECT doc_id, off,
-        |  CASE WHEN b < 5 OR b >= 7 THEN 'text' ELSE 'media' END AS kind,
-        |  CASE WHEN b < 2 THEN concat('第', CAST(off AS VARCHAR), '节 ',
-        |        CASE c WHEN 0 THEN '存货' WHEN 1 THEN '无形资产' ELSE '开发支出' END, '明细')
-        |       WHEN b < 5 THEN concat('其中：数据资源 | ',
-        |        CASE st WHEN 0 THEN concat(CAST(v1 AS VARCHAR), ',', lpad(CAST(v2 AS VARCHAR),3,'0'), '.25')
-        |                WHEN 1 THEN CAST(v1 AS VARCHAR)
-        |                WHEN 2 THEN 'N/A'
-        |                ELSE concat(CAST(v1 AS VARCHAR), ',', lpad(CAST(v2 AS VARCHAR),3,'0')) END, ' | 元')
-        |       WHEN b < 7 THEN NULL
-        |       ELSE concat('补充说明', CAST(v1 AS VARCHAR)) END AS text
-        | FROM f),
-        |norm AS (
-        | SELECT doc_id, off, kind,
-        |  regexp_replace(replace(text, ':', '：'), '\s+', '', 'g') AS n
-        | FROM spans),
-        |marked AS (
-        | SELECT *,
-        |  CASE WHEN kind = 'text' AND NOT contains(n, '其中：数据资源') THEN
-        |   CASE WHEN contains(n, '存货') THEN '存货'
-        |        WHEN contains(n, '无形资产') THEN '无形资产'
-        |        WHEN contains(n, '开发支出') THEN '开发支出' END END AS marker
-        | FROM norm),
-        |parents AS (
-        | SELECT *, last_value(marker IGNORE NULLS) OVER
-        |   (PARTITION BY doc_id ORDER BY off ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS parent_cat
-        | FROM marked),
-        |kw AS (
-        | SELECT doc_id, parent_cat AS item,
-        |  list_extract(string_split(n, '其中：数据资源'), 2) AS after, off
-        | FROM parents WHERE kind = 'text' AND contains(n, '其中：数据资源') AND parent_cat IS NOT NULL)
-        |SELECT doc_id, item,
-        | coalesce(
-        |  nullif(regexp_extract(after, '\d{1,3}(,\d{3})+\.\d{2}', 0), ''),
-        |  nullif(regexp_extract(after, '\d{1,3}(,\d{3})+\.\d+', 0), ''),
-        |  nullif(regexp_extract(after, '\d{1,3}(,\d{3})+', 0), ''),
-        |  nullif(regexp_extract(after, '\d+\.\d+', 0), ''),
-        |  nullif(regexp_extract(after, '\d+', 0), ''), '0') AS amount_str,
+      s"""WITH $spanCtes
+        |SELECT doc_id, item, $ladderSql AS amount_str,
         | 'table_scan' AS method, CAST(off AS BIGINT) AS offset
-        |FROM kw""".stripMargin)
+        |FROM kw""".stripMargin,
+
+    "crawl_dense_rescale" ->
+      s"""WITH $spanCtes,
+        |lr AS (SELECT doc_id, item, $ladderSql AS amount_str, off FROM kw),
+        |a4 AS (
+        | SELECT doc_id, item, amount_str FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id, item
+        |   ORDER BY (TRY_CAST(regexp_replace(amount_str, '[,\\s]', '', 'g') AS DECIMAL(20,2)) > 0) DESC, off) AS rn
+        |  FROM lr) WHERE rn = 1),
+        |cats AS (SELECT * FROM (VALUES ('存货', 0), ('无形资产', 1), ('开发支出', 2)) c(item, item_rank)),
+        |dense AS (
+        | SELECT d.doc_id, c.item, c.item_rank, a4.amount_str AS raw_amt
+        | FROM (SELECT DISTINCT doc_id FROM documents) d
+        | CROSS JOIN cats c
+        | LEFT JOIN a4 ON d.doc_id = a4.doc_id AND c.item = a4.item),
+        |cleaned AS (
+        | SELECT doc_id, item, item_rank,
+        |  CASE WHEN raw_amt IS NULL OR raw_amt IN ('', 'N/A', '空值', '-', 'nan', 'None')
+        |       THEN '0' ELSE raw_amt END AS amount_str,
+        |  raw_amt IS NOT NULL AS has_data_resource,
+        |  CASE doc_id % 7 WHEN 0 THEN 1000000 WHEN 1 THEN 1000 ELSE 1 END AS multiplier
+        | FROM dense)
+        |SELECT doc_id, item, CAST(item_rank AS BIGINT) AS item_rank, amount_str,
+        | has_data_resource, CAST(multiplier AS BIGINT) AS multiplier,
+        | CAST(TRY_CAST(regexp_replace(amount_str, '[,\\s]', '', 'g') AS DECIMAL(20,2))
+        |      * multiplier * 1000 AS BIGINT) AS amount_milli
+        |FROM cleaned""".stripMargin)
+
 }

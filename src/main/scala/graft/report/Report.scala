@@ -62,6 +62,24 @@ object Report {
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 
+  /** E-math2: grouped display format with trailing-zero trim —
+    * f"{v:,.2f}".rstrip('0').rstrip('.') with empty→"0"
+    * (report_info_collection.py:75-79). Sink-side only; the canonical
+    * column stays decimal.
+    */
+  def formatAmount(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    coalesce(
+      nullif(
+        regexp_replace(regexp_replace(format_number(v, 2), "0+$", ""), "\\.$", ""),
+        lit("")),
+      lit("0"))
+
+  def formatAmountScala(v: BigDecimal): String = {
+    val grouped = String.format(java.util.Locale.US, "%,.2f", v.bigDecimal)
+    val trimmed = grouped.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+    if (trimmed.isEmpty) "0" else trimmed
+  }
+
   /** A5+J3: pivot long rows to the wide report and attach the
     * has-data-resource flag (report_info_collection.py:492-528).
     * Pivot uses the explicit category list so the plan stays static.

@@ -1,0 +1,43 @@
+package graft
+
+import graft.report.Report
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** Sink/source semantics: E-math2 display formatting and the S7/S8
+  * CSV round-trip with schema enforcement (SURVEY.md §2.1, §2.8).
+  */
+class SinkSpec extends SparkSpec {
+
+  test("formatAmount: grouped, trailing zeros trimmed, empty→0 (E-math2)") {
+    val s = spark; import s.implicits._
+    val vals = Seq("1234567.5", "1000.00", "0.00", "12.34", "0.10", "999999999.99")
+    val got = vals.toDF("v")
+      .select(Report.formatAmount(col("v").cast("decimal(20,2)")))
+      .collect().map(_.getString(0)).toSeq
+    val want = vals.map(v => Report.formatAmountScala(BigDecimal(v)))
+    assert(got == want)
+    assert(want == Seq("1,234,567.5", "1,000", "0", "12.34", "0.1", "999,999,999.99"))
+  }
+
+  test("S7/S8: CSV sink with fixed column order, source with enforced schema") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("csv-roundtrip").toString
+    val out = Seq(
+      ("600941.SH", "公司1", "2024年年度报告", "2024-04-30", "https://x/1.pdf"),
+      ("000002.SZ", "公司2", "2023年年度报告", "2023-04-28", "https://x/2.pdf"))
+      .toDF("sec_code", "company", "title", "report_date", "pdf_url")
+    // S7: fixed column order, header on
+    out.select("sec_code", "company", "title", "report_date", "pdf_url")
+      .coalesce(1).write.option("header", "true").mode("overwrite").csv(dir)
+    // S8: read back with an enforced schema (dtype=str analog) —
+    // required-column check is schema enforcement
+    val schema = StructType(Seq("sec_code", "company", "title", "report_date", "pdf_url")
+      .map(StructField(_, StringType)))
+    val back = spark.read.schema(schema).option("header", "true").csv(dir)
+    assert(back.schema == schema)
+    assert(back.collect().map(_.toString).sorted.toSeq ==
+      out.collect().map(_.toString).sorted.toSeq)
+  }
+}
