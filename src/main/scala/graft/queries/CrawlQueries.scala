@@ -120,6 +120,42 @@ object CrawlQueries {
         .select(col("doc_id"), col("item"), col("amount_str"), col("method"),
           col("offset").cast("long").as("offset"))),
 
+    // E-date3/4/5: inclusive date-range expansion × exchange dim ×
+    // category dim (the seed list as a Catalyst plan), with the
+    // −3-month fiscal shift and its target-year span.
+    "seed_expansion" -> ((s, _) => {
+      import s.implicits._
+      val exchanges = Seq((0, "sse"), (1, "szse"), (2, "bj"), (3, "neeq"), (4, "star"))
+        .toDF("exchange_rank", "exchange")
+      val cats = Seq("annual", "semiannual").toDF("category")
+      s.range(1).select(
+          explode(sequence(to_date(lit("2024-01-25")), to_date(lit("2024-03-05")),
+            expr("interval 1 day"))).as("day"))
+        .crossJoin(broadcast(exchanges)).crossJoin(broadcast(cats))
+        .withColumn("fiscal_day", add_months(col("day"), -3))
+        .withColumn("target_year_lo", year(add_months(to_date(lit("2024-01-25")), -3)).cast("long"))
+        .withColumn("target_year_hi", year(add_months(to_date(lit("2024-03-05")), -3)).cast("long"))
+        .select(col("exchange_rank").cast("long").as("exchange_rank"), col("exchange"),
+          col("category"), col("day"), col("fiscal_day"),
+          col("target_year_lo"), col("target_year_hi"))
+    }),
+
+    // O5: priority-queue batch ordering — distributed top-k on the
+    // north-star key (announce date, stock code, page depth) via
+    // range-partitioned sort + limit.
+    "priority_topk" -> ((s, d) => {
+      val m = md5(col("o_orderkey").cast("string"))
+      val tasks = Tables.load(s, d, "orders").select(
+        to_date(col("o_orderdate")).as("announce_date"),
+        lpad(((col("o_custkey") * 37) % 1000000).cast("string"), 6, "0").as("stock_code"),
+        (ascii(substring(m, 3, 1)) % 5 + 1).cast("long").as("page_depth"),
+        concat(lit("https://static.cninfo.example/final/"), m, lit(".pdf")).as("url"))
+      tasks
+        .repartitionByRange(col("announce_date"), col("stock_code"), col("page_depth"))
+        .orderBy(col("announce_date"), col("stock_code"), col("page_depth"), col("url"))
+        .limit(100)
+    }),
+
     // J5 dense-categories join + A4 first-positive dedup + J4
     // unit-multiplier broadcast dim + E-math1 exact decimal rescale:
     // every (doc, category) appears exactly once, amount 0 when the
@@ -373,6 +409,27 @@ object CrawlQueries {
         |SELECT doc_id, item, $ladderSql AS amount_str,
         | 'table_scan' AS method, CAST(off AS BIGINT) AS offset
         |FROM kw""".stripMargin,
+
+    "seed_expansion" ->
+      """SELECT CAST(e.exchange_rank AS BIGINT) AS exchange_rank, e.exchange, c.category,
+        | CAST(d.day AS DATE) AS day,
+        | CAST(d.day - INTERVAL 3 MONTH AS DATE) AS fiscal_day,
+        | CAST(date_part('year', DATE '2024-01-25' - INTERVAL 3 MONTH) AS BIGINT) AS target_year_lo,
+        | CAST(date_part('year', DATE '2024-03-05' - INTERVAL 3 MONTH) AS BIGINT) AS target_year_hi
+        |FROM (SELECT unnest(generate_series(DATE '2024-01-25', DATE '2024-03-05', INTERVAL 1 DAY)) AS day) d
+        |CROSS JOIN (VALUES (0,'sse'),(1,'szse'),(2,'bj'),(3,'neeq'),(4,'star')) e(exchange_rank, exchange)
+        |CROSS JOIN (VALUES ('annual'),('semiannual')) c(category)""".stripMargin,
+
+    "priority_topk" ->
+      """WITH tasks AS (
+        | SELECT CAST(o_orderdate AS DATE) AS announce_date,
+        |  lpad(CAST((o_custkey * 37) % 1000000 AS VARCHAR), 6, '0') AS stock_code,
+        |  CAST(ascii(substr(md5(CAST(o_orderkey AS VARCHAR)), 3, 1)) % 5 + 1 AS BIGINT) AS page_depth,
+        |  concat('https://static.cninfo.example/final/', md5(CAST(o_orderkey AS VARCHAR)), '.pdf') AS url
+        | FROM orders)
+        |SELECT * FROM tasks
+        |ORDER BY announce_date, stock_code, page_depth, url
+        |LIMIT 100""".stripMargin,
 
     "crawl_dense_rescale" ->
       s"""WITH $spanCtes,
