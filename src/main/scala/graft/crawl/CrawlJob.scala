@@ -72,6 +72,20 @@ object CrawlJob {
   def seedListing(seeds: Seq[Seed]): Seq[ListingTask] =
     seeds.map(s => ListingTask(s.exchangeRank, s.exchange, s.epochDay, s.category, 1, 0))
 
+  /** O4 frontier-growth guards (cninfo_report_crawler.py:249-328):
+    * enqueue the next page unless the stream claims no more pages,
+    * `emptyRunLimit` consecutive pages came back empty, or the hard
+    * page cap is hit. Pure — shared by the distributed job and the
+    * test oracle.
+    */
+  def nextListingTask(t: ListingTask, rowsServed: Int, totalPages: Int,
+                      cfg: Config): Option[ListingTask] = {
+    val emptyRun = if (rowsServed == 0) t.emptyRun + 1 else 0
+    if (t.page < totalPages && emptyRun < cfg.emptyRunLimit && t.page + 1 <= cfg.maxPagesCap)
+      Some(t.copy(page = t.page + 1, emptyRun = emptyRun))
+    else None
+  }
+
   /** Inclusive seed expansion: exchange × day × category (E-date3 +
     * the exchange/category dimensions, cninfo_report_crawler.py:
     * 378-379,434-440).
@@ -138,13 +152,9 @@ object CrawlJob {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val nextListing = listing.flatMap { t =>
-      val rows = Fixtures.rowsOnPage(t.exchangeRank, t.epochDay, t.category, t.page)
-      val tp = Fixtures.totalPages(t.exchangeRank, t.epochDay, t.category)
-      val emptyRun = if (rows == 0) t.emptyRun + 1 else 0
-      val nextPage = t.page + 1
-      if (t.page < tp && emptyRun < cfg.emptyRunLimit && nextPage <= cfg.maxPagesCap)
-        Some(t.copy(page = nextPage, emptyRun = emptyRun))
-      else None
+      nextListingTask(t,
+        Fixtures.rowsOnPage(t.exchangeRank, t.epochDay, t.category, t.page),
+        Fixtures.totalPages(t.exchangeRank, t.epochDay, t.category), cfg)
     }
 
     // ---- 2. filters F1/F2 + canonicalization ------------------------

@@ -94,25 +94,23 @@ object TextOps {
     * Hash = md5 hex of the k-gram (lexicographic min of a uniform hex
     * hash ≙ numeric min; identical in any engine with md5).
     *
-    * Scale: the window is per-document (partitionBy doc_id), so the
-    * shuffle is one hash-partition pass; no global ordering.
+    * Scale: the whole gram/window computation is a higher-order
+    * projection over the document's own text — NO shuffle at all
+    * (an earlier posexplode + per-doc window formulation paid a full
+    * hash-repartition + sort of every gram row for the same result;
+    * the final distinct is per-doc via array_distinct, so the only
+    * wide op left is whatever the caller does with the output).
     */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
                          k: Int = 8, w: Int = 5): DataFrame = {
-    val nGrams = length(col("__t")) - (k - 1) // #k-grams in the doc
-    val grams = df
-      .select(col(idCol), col(textCol).as("__t"))
-      .where(length(col("__t")) >= k + w - 1)
-      .select(col(idCol), col("__t"), nGrams.as("__ng"),
-        explode(sequence(lit(1), nGrams)).as("pos"))
-      .select(col(idCol), col("pos"), col("__ng"),
-        md5(expr(s"substring(__t, pos, $k)")).as("gram_hash"))
-    val win = Window.partitionBy(idCol).orderBy("pos")
-      .rowsBetween(Window.currentRow, w - 1)
-    grams
-      .withColumn("win_min", min("gram_hash").over(win))
-      .where(col("pos") <= col("__ng") - (w - 1)) // only full windows
-      .select(col(idCol), col("win_min").as("fingerprint"))
-      .distinct()
+    val t = col("__t")
+    val nGrams = length(t) - (k - 1)
+    val grams = transform(sequence(lit(1), nGrams), i => md5(t.substr(i, lit(k))))
+    val winMins = transform(sequence(lit(1), nGrams - (w - 1)),
+      j => array_min(slice(col("__grams"), j, lit(w))))
+    df.select(col(idCol), col(textCol).as("__t"))
+      .where(length(t) >= k + w - 1)
+      .withColumn("__grams", grams)
+      .select(col(idCol), explode(array_distinct(winMins)).as("fingerprint"))
   }
 }

@@ -21,6 +21,18 @@ class SinkSpec extends SparkSpec {
     assert(want == Seq("1,234,567.5", "1,000", "0", "12.34", "0.1", "999,999,999.99"))
   }
 
+  test("S3: magic-bytes sniff is a cheap predicate on the binary payload") {
+    val s = spark; import s.implicits._
+    val rows = Seq(
+      (1L, "%PDF-1.7 junk".getBytes("UTF-8")),
+      (2L, "<html>nope</html>".getBytes("UTF-8")),
+      (3L, "%PDF".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val got = rows.where(substring(col("payload"), 1, 4) === lit("%PDF".getBytes("UTF-8")))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L))
+  }
+
   test("S7/S8: CSV sink with fixed column order, source with enforced schema") {
     val s = spark; import s.implicits._
     val dir = Files.createTempDirectory("csv-roundtrip").toString

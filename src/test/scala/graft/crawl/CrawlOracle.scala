@@ -40,12 +40,9 @@ object CrawlOracle {
         Fixtures.announcementsFor(t).map(a => (a, t.page, t.epochDay))
       }
       val nextListing = listing.flatMap { t =>
-        val rows = Fixtures.rowsOnPage(t.exchangeRank, t.epochDay, t.category, t.page)
-        val tp = Fixtures.totalPages(t.exchangeRank, t.epochDay, t.category)
-        val emptyRun = if (rows == 0) t.emptyRun + 1 else 0
-        if (t.page < tp && emptyRun < cfg.emptyRunLimit && t.page + 1 <= cfg.maxPagesCap)
-          Some(t.copy(page = t.page + 1, emptyRun = emptyRun))
-        else None
+        CrawlJob.nextListingTask(t,
+          Fixtures.rowsOnPage(t.exchangeRank, t.epochDay, t.category, t.page),
+          Fixtures.totalPages(t.exchangeRank, t.epochDay, t.category), cfg)
       }
 
       // 2. filters F1/F2

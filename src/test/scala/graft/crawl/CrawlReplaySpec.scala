@@ -111,6 +111,22 @@ class CrawlReplaySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("O4 page-growth guards: totalpages stop, empty-run stop, hard cap") {
+    val cfg2 = CrawlJob.Config(emptyRunLimit = 3, maxPagesCap = 10)
+    val t = graft.model.ListingTask(0, "sse", 19800, "annual", page = 1, emptyRun = 0)
+    // normal growth resets the empty-run counter
+    assert(CrawlJob.nextListingTask(t.copy(emptyRun = 2), 30, 5, cfg2)
+      .contains(t.copy(page = 2, emptyRun = 0)))
+    // stop when the stream claims no more pages
+    assert(CrawlJob.nextListingTask(t.copy(page = 5), 7, 5, cfg2).isEmpty)
+    // empty pages count up and stop at the limit
+    assert(CrawlJob.nextListingTask(t.copy(emptyRun = 1), 0, 5, cfg2)
+      .contains(t.copy(page = 2, emptyRun = 2)))
+    assert(CrawlJob.nextListingTask(t.copy(emptyRun = 2), 0, 5, cfg2).isEmpty)
+    // hard page cap (reference: max_pages_limit=500)
+    assert(CrawlJob.nextListingTask(t.copy(page = 10), 30, 99, cfg2).isEmpty)
+  }
+
   test("seen keys equal reference 4-tuple identity (first wins)") {
     // the seen key is the reference's (secCode, title, time, url) tuple:
     // re-serving the same announcement must not create a second key
