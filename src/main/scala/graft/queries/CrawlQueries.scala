@@ -141,8 +141,11 @@ object CrawlQueries {
     }),
 
     // O5: priority-queue batch ordering — distributed top-k on the
-    // north-star key (announce date, stock code, page depth) via
-    // range-partitioned sort + limit.
+    // north-star key (announce date, stock code, page depth).
+    // orderBy+limit plans as TakeOrderedAndProject: each partition
+    // computes its local top-k, the driver merges k-sized heaps — no
+    // range exchange at all (a repartitionByRange here would be a
+    // user-forced full shuffle Catalyst cannot elide).
     "priority_topk" -> ((s, d) => {
       val m = md5(col("o_orderkey").cast("string"))
       val tasks = Tables.load(s, d, "orders").select(
@@ -151,7 +154,6 @@ object CrawlQueries {
         (ascii(substring(m, 3, 1)) % 5 + 1).cast("long").as("page_depth"),
         concat(lit("https://static.cninfo.example/final/"), m, lit(".pdf")).as("url"))
       tasks
-        .repartitionByRange(col("announce_date"), col("stock_code"), col("page_depth"))
         .orderBy(col("announce_date"), col("stock_code"), col("page_depth"), col("url"))
         .limit(100)
     }),

@@ -32,8 +32,12 @@ object PipelineQueries {
     "dedup_exact" -> ((s, d) =>
       DedupOps.exact(docs(s, d), "doc_id", "text")),
 
+    // maxDf=50 exercises the quadratic-blowup guard (shingles present
+    // in >50 docs are candidate-generation noise); the oracle applies
+    // the identical cap.
     "dedup_ngram_jaccard" -> ((s, d) =>
-      DedupOps.ngramJaccardPairs(docs(s, d), "doc_id", "text", n = 3, num = 13, den = 20)),
+      DedupOps.ngramJaccardPairs(docs(s, d), "doc_id", "text", n = 3, num = 13, den = 20,
+        maxDf = 50L)),
 
     "dedup_minhash_lsh" -> ((s, d) =>
       DedupOps.minhashLshPairs(docs(s, d), "doc_id", "text", n = 3, bands = 4, rows = 4)),
@@ -82,11 +86,13 @@ object PipelineQueries {
         |FROM documents GROUP BY md5(text)""".stripMargin,
 
     "dedup_ngram_jaccard" ->
-      """WITH sh AS (
+      """WITH sh0 AS (
         | SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
         | FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
         |       FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents)
         |       WHERE len(t) >= 3)),
+        |keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 50),
+        |sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |shared AS (
         | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
@@ -120,7 +126,7 @@ object PipelineQueries {
         | SELECT doc_id, j, CASE WHEN sum(ascii(substring(h, j + 1, 1)) % 2 * 2 - 1) > 0 THEN 1 ELSE 0 END AS bit
         | FROM (SELECT doc_id, h, unnest(generate_series(0, 31)) AS j FROM toks)
         | GROUP BY doc_id, j)
-        |SELECT doc_id, sum(CAST(bit AS BIGINT) << j) AS simhash FROM bits GROUP BY doc_id""".stripMargin,
+        |SELECT doc_id, CAST(sum(CAST(bit AS BIGINT) << j) AS BIGINT) AS simhash FROM bits GROUP BY doc_id""".stripMargin,
 
     "dedup_embed_cosine" ->
       s"""WITH q AS (SELECT vec_id, label, $quantSql AS qv FROM embeddings),

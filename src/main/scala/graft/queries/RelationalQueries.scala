@@ -235,11 +235,11 @@ object RelationalQueries {
 
     "q8_pivot_events" ->
       """SELECT user_id % 20 AS user_bucket,
-        | sum(CASE WHEN event_type = 'click' THEN k END) AS "click",
-        | sum(CASE WHEN event_type = 'error' THEN k END) AS "error",
-        | sum(CASE WHEN event_type = 'purchase' THEN k END) AS "purchase",
-        | sum(CASE WHEN event_type = 'signup' THEN k END) AS "signup",
-        | sum(CASE WHEN event_type = 'view' THEN k END) AS "view"
+        | CAST(sum(CASE WHEN event_type = 'click' THEN k END) AS BIGINT) AS "click",
+        | CAST(sum(CASE WHEN event_type = 'error' THEN k END) AS BIGINT) AS "error",
+        | CAST(sum(CASE WHEN event_type = 'purchase' THEN k END) AS BIGINT) AS "purchase",
+        | CAST(sum(CASE WHEN event_type = 'signup' THEN k END) AS BIGINT) AS "signup",
+        | CAST(sum(CASE WHEN event_type = 'view' THEN k END) AS BIGINT) AS "view"
         |FROM (SELECT user_id, event_type, CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k FROM events)
         |GROUP BY user_id % 20""".stripMargin,
 
@@ -320,7 +320,7 @@ object RelationalQueries {
         |FROM cleaned""".stripMargin,
 
     "q15_json_extract" ->
-      """SELECT event_type, sum(k) AS sum_k, count(*) AS n, max(k) AS max_k
+      """SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k, count(*) AS n, max(k) AS max_k
         |FROM (SELECT event_type, CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k FROM events)
         |GROUP BY event_type""".stripMargin)
 }

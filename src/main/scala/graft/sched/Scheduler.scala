@@ -88,7 +88,9 @@ object Scheduler {
       .toMap
     val bc = tasks.sparkSession.sparkContext.broadcast(byHost)
     val denied = udf { (host: String, url: String) =>
-      bc.value.get(host) match {
+      // null-tolerant: a null url cannot match any deny prefix
+      if (url == null) false
+      else bc.value.get(host) match {
         case None => false
         case Some(prefixes) =>
           val rest = { val i = url.indexOf("://"); if (i < 0) url else url.substring(i + 3) }

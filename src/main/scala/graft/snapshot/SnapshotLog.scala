@@ -41,11 +41,13 @@ final class SnapshotLog(val root: String) {
 
   def latest(): Option[Snapshot] = {
     if (!Files.isDirectory(rootPath)) return None
-    val ids = Files.list(rootPath).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("snapshot-") && s.endsWith(".json") =>
-        s.stripPrefix("snapshot-").stripSuffix(".json").toLong }
-      .toSeq
+    val ids = scala.util.Using.resource(Files.list(rootPath)) { stream =>
+      stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("snapshot-") && s.endsWith(".json") =>
+          s.stripPrefix("snapshot-").stripSuffix(".json").toLong }
+        .toSeq
+    }
     if (ids.isEmpty) None else Some(read(ids.max))
   }
 
@@ -54,8 +56,11 @@ final class SnapshotLog(val root: String) {
   /** Commit one round. `deltas` = tables gaining a delta dir this
     * round; `replaced` = tables fully rewritten this round. A table
     * absent from both carries over its parent's dirs unchanged.
-    * Empty DataFrames commit no dir (a table can shrink to nothing
-    * only via `replaced`).
+    * Every DataFrame passed IS written (commit cannot know emptiness
+    * without triggering an extra action) — callers who already know a
+    * delta is empty should omit it, or the manifest grows a dir per
+    * round; accumulating tables are compacted by re-committing the
+    * merged result via `replaced` (see CrawlJob's sketch compaction).
     */
   def commit(deltas: Map[String, DataFrame], replaced: Map[String, DataFrame],
              props: Map[String, String]): Snapshot = {

@@ -44,10 +44,17 @@ for name, sql in sorted(oracle.items()):
         bad.append((name, f"ROWS: oracle={len(d)} spark={len(s)}"))
         continue
     dc, sc = canon(d), canon(s)
+    # Driver hashes are dtype-sensitive: an int64 Spark column vs a
+    # float64 oracle column (DuckDB HUGEINT sums) hash-mismatches even
+    # when every value compares equal — so dtype inequality is a FAIL.
+    dtype_diffs = [f"{c}: oracle={dc[c].dtype} spark={sc[c].dtype}"
+                   for c in dc.columns if dc[c].dtype != sc[c].dtype]
+    if dtype_diffs:
+        bad.append((name, "DTYPES: " + "; ".join(dtype_diffs)))
+        continue
     try:
         eq = dc.equals(sc)
         if not eq:
-            # tolerate dtype-width differences, compare values
             eq = all((dc[c].values == sc[c].values).all() for c in dc.columns)
     except Exception as e:
         eq = False
