@@ -224,21 +224,21 @@ object CrawlJob {
     val allowed = gated.where(!col("robots_denied")).drop("robots_denied")
 
     // ---- 8. politeness scheduling under the round budget ------------
-    // north-star priority: (announce date, stock code, page depth)
-    val schedIn = allowed.select(
-      col("url"), col("host"),
-      col("announceEpochDay").cast("long").as("priority"),
-      concat_ws("|", col("secCode"), lpad(col("pageDepth").cast("string"), 6, "0"),
-        col("seenKey")).as("tiebreak"))
-      .as[Scheduler.SchedIn]
+    // north-star priority: (announce date, stock code, page depth).
+    // The FULL task row rides through the scheduler (column-generic
+    // pass-through), so the deferred set is a plain projection — no
+    // re-join on url, which is not unique (two announcements can share
+    // an adjunctUrl; the dedup identity is the 4-tuple seenKey).
+    val schedIn = allowed
+      .withColumn("priority", col("announceEpochDay").cast("long"))
+      .withColumn("tiebreak",
+        concat_ws("|", col("secCode"), lpad(col("pageDepth").cast("string"), 6, "0"),
+          col("seenKey")))
     val assigned = Scheduler
-      .assignVirtualTicks(schedIn, cfg.saltCount, cfg.tokensPerTick, cfg.tickMs)
-      .toDF()
+      .assignVirtualTicksCols(schedIn, cfg.saltCount, cfg.tokensPerTick, cfg.tickMs)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val toFetch = assigned.where(col("tick_index") < cfg.ticksPerRound)
     val deferredNow = assigned.where(col("tick_index") >= cfg.ticksPerRound)
-      .select("url")
-      .join(allTasks, Seq("url"))
       .select("url", "host", "announceEpochDay", "secCode", "pageDepth", "seenKey")
       .persist(StorageLevel.MEMORY_AND_DISK)
 

@@ -82,6 +82,27 @@ object CrawlQueries {
           col("tick_index"), col("scheduled_ms"))
     }),
 
+    // ST2: the SALTED token bucket (hot-host fan-out) vs its closed
+    // form — saltOf is md5-derived precisely so DuckDB can restate
+    // the salt assignment and the per-(host,salt) queue rank exactly.
+    "crawl_politeness_salted" -> ((s, d) => {
+      import s.implicits._
+      val k = get_json_object(col("props"), "$.k").try_cast("long")
+      val stream = Tables.load(s, d, "events").select(
+        col("event_id"),
+        concat(lit("/doc/"), (col("user_id") % 300).cast("string"),
+          lit("/"), (k % 20).cast("string")).as("url"),
+        concat(lit("h"), ((col("user_id") % 300) % 5).cast("string")).as("host"))
+      val kept = SeenFilter.firstWins(stream, Seq("url"), "event_id")
+      val in = kept.select(col("url"), col("host"),
+        col("event_id").as("priority"), lit("").as("tiebreak")).as[Scheduler.SchedIn]
+      Scheduler.assignVirtualTicks(in, saltCount = 4, tokensPerTick = 3, tickMs = 300)
+        .toDF()
+        .select(col("url"), col("host"), col("salt").cast("long").as("salt"),
+          col("rank").cast("long").as("salt_rank"),
+          col("tick_index"), col("scheduled_ms"))
+    }),
+
     // A4+A5+J3+F8: first-positive dedup, pivot, flag join, sentinels.
     "crawl_wide_report" -> ((s, d) => {
       val longRows = deriveLongRows(s, d)
@@ -362,6 +383,27 @@ object CrawlQueries {
         |SELECT url, host, CAST(host_rank AS BIGINT) AS host_rank,
         | CAST((host_rank - 1) // 3 AS BIGINT) AS tick_index,
         | CAST((host_rank - 1) // 3 * 300 AS BIGINT) AS scheduled_ms
+        |FROM ranked""".stripMargin,
+
+    "crawl_politeness_salted" ->
+      s"""WITH stream AS ($streamSql),
+        |kept AS (
+        | SELECT url, host, event_id AS priority FROM (
+        |  SELECT url, host, event_id, row_number() OVER (PARTITION BY url ORDER BY event_id) AS rn
+        |  FROM stream) WHERE rn = 1),
+        |salted AS (
+        | SELECT url, host,
+        |  (ascii(substr(md5(url),1,1)) * 31 + ascii(substr(md5(url),2,1))) % 4 AS salt,
+        |  priority
+        | FROM kept),
+        |ranked AS (
+        | SELECT url, host, salt,
+        |  row_number() OVER (PARTITION BY host, salt ORDER BY priority, url) AS salt_rank
+        | FROM salted)
+        |SELECT url, host, CAST(salt AS BIGINT) AS salt,
+        | CAST(salt_rank AS BIGINT) AS salt_rank,
+        | CAST((salt_rank - 1) // 3 AS BIGINT) AS tick_index,
+        | CAST((salt_rank - 1) // 3 * 300 AS BIGINT) AS scheduled_ms
         |FROM ranked""".stripMargin,
 
     "crawl_wide_report" ->

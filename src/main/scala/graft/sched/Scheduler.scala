@@ -1,7 +1,8 @@
 package graft.sched
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Politeness scheduling (SURVEY.md §2.9 ST1/ST2/ST3).
   *
@@ -14,8 +15,8 @@ import org.apache.spark.sql.functions._
   *
   * Skew (ST2): the reference workload is single-host
   * (static.cninfo.com.cn), i.e. one hot key. The bucket key is
-  * salted — (host, xxhash64(url) % S) — so the hot host spreads over
-  * S sub-queues that share a divided token budget, and the groupByKey
+  * salted — (host, saltOf(url) % S) — so the hot host spreads over
+  * S sub-queues that share a divided token budget, and the scheduling
   * shuffle has S× the parallelism. Per-host ordering is preserved
   * within a scheduled batch by the priority sort inside each group
   * (the reference's own guarantee is no stronger: thread completion
@@ -40,32 +41,85 @@ object Scheduler {
     * (host, salt) queue ordered by (priority, tiebreak, url), the
     * r-th URL (1-based) runs at tick ⌊(r−1)/tokensPerTick⌋.
     *
-    * Implemented as groupByKey/flatMapGroups (typed, order
-    * controlled); semantically equal to the closed-form window
-    * rank — the SQL oracle checks that equality.
+    * Typed wrapper over [[assignVirtualTicksCols]].
     */
   def assignVirtualTicks(in: Dataset[SchedIn], saltCount: Int, tokensPerTick: Int,
                          tickMs: Long): Dataset[SchedOut] = {
     val spark = in.sparkSession
     import spark.implicits._
-    require(saltCount > 0 && tokensPerTick > 0)
-    in.groupByKey(r => (r.host, saltOf(r.url, saltCount)))
-      .flatMapGroups { (key: (String, Int), rows: Iterator[SchedIn]) =>
-        val (host, salt) = key
-        // Per-round group sizes are bounded by the frontier batch
-        // size, so the in-memory sort is safe by construction.
-        val sorted = rows.toArray.sortBy(r => (r.priority, r.tiebreak, r.url))
-        sorted.iterator.zipWithIndex.map { case (r, i) =>
-          val tick = i.toLong / tokensPerTick
-          SchedOut(r.url, host, r.priority, r.tiebreak, salt, i + 1, tick, tick * tickMs)
-        }
-      }
+    assignVirtualTicksCols(in.toDF(), saltCount, tokensPerTick, tickMs)
+      .select("url", "host", "priority", "tiebreak", "salt", "rank",
+        "tick_index", "scheduled_ms")
+      .as[SchedOut]
   }
 
-  /** Stable salt — same function driver- and executor-side. */
+  /** Column-generic token-bucket assignment: the input needs
+    * (url, host, priority, tiebreak) columns; EVERY other column is
+    * carried through untouched (so a caller can schedule its full task
+    * rows — no lossy projection, no re-join on a non-unique url
+    * afterwards). Appends (salt, rank, tick_index, scheduled_ms).
+    *
+    * Spill-safe by construction: one hash exchange on (host, salt),
+    * then `sortWithinPartitions` (Spark's external, spilling sorter —
+    * a queue larger than executor memory sorts through disk), then a
+    * STREAMING rank in mapPartitions whose only state is the current
+    * (host, salt) key and a counter. Nothing buffers a whole group —
+    * the previous flatMapGroups formulation held each (host, salt)
+    * queue in one in-memory array, which with the reference's
+    * single-host workload and saltCount=1 meant the ENTIRE frontier
+    * in one task's heap.
+    */
+  def assignVirtualTicksCols(df: DataFrame, saltCount: Int, tokensPerTick: Int,
+                             tickMs: Long): DataFrame = {
+    require(saltCount > 0 && tokensPerTick > 0)
+    val sorted = df
+      .withColumn("salt", saltCol(col("url"), saltCount))
+      .repartition(col("host"), col("salt"))
+      .sortWithinPartitions(col("host"), col("salt"), col("priority"),
+        col("tiebreak"), col("url"))
+    val outSchema = StructType(sorted.schema.fields ++ Seq(
+      StructField("rank", IntegerType, nullable = false),
+      StructField("tick_index", LongType, nullable = false),
+      StructField("scheduled_ms", LongType, nullable = false)))
+    val hostIdx = sorted.schema.fieldIndex("host")
+    val saltIdx = sorted.schema.fieldIndex("salt")
+    sorted.mapPartitions { it =>
+      var curHost: String = null
+      var curSalt = Int.MinValue
+      var rank = 0
+      it.map { r =>
+        val host = r.getString(hostIdx)
+        val salt = r.getInt(saltIdx)
+        if (host != curHost || salt != curSalt) {
+          curHost = host; curSalt = salt; rank = 0
+        }
+        rank += 1
+        val tick = (rank - 1).toLong / tokensPerTick
+        Row.fromSeq(r.toSeq :+ rank :+ tick :+ (tick * tickMs))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Stable salt — same function driver-, executor- and oracle-side.
+    * Derived from the first two hex chars of md5(url) so a DuckDB
+    * oracle can restate it exactly:
+    * `(ascii(substr(md5(url),1,1)) * 31 + ascii(substr(md5(url),2,1))) % S`.
+    */
   def saltOf(url: String, saltCount: Int): Int =
     if (saltCount <= 1) 0
-    else math.floorMod(scala.util.hashing.MurmurHash3.stringHash(url), saltCount)
+    else {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(url.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val c1 = java.lang.Character.forDigit((d(0) >> 4) & 0xf, 16).toInt
+      val c2 = java.lang.Character.forDigit(d(0) & 0xf, 16).toInt
+      math.floorMod(c1 * 31 + c2, saltCount)
+    }
+
+  /** Column twin of [[saltOf]] — pure built-ins, codegen'd. */
+  def saltCol(url: Column, saltCount: Int): Column =
+    if (saltCount <= 1) lit(0)
+    else pmod(ascii(substring(md5(url), 1, 1)) * 31 + ascii(substring(md5(url), 2, 1)),
+      lit(saltCount))
 
   /** ST3: robots.txt gate. `rules` is a small (host, path_prefix,
     * allow) table — collected once, broadcast, and matched per row
