@@ -49,6 +49,8 @@ object CrawlJob {
       bloomP: Int = 32,              // seen-domain partition count
       bloomBits: Int = 1 << 16,      // bits per partition sketch
       bloomHashes: Int = 4,
+      sketchCompactEvery: Int = 4,   // OR-merge sketch deltas when the
+                                     // table reaches this many dirs
       maxRounds: Int = 1000)
 
   /** Global lineage totals for one round (the per-partition rows live
@@ -178,10 +180,15 @@ object CrawlJob {
     val batchFirst = SeenFilter.firstWinsAgg(kept, Seq("seen_key"), "arrival_seq")
 
     // ---- 4. bloom pre-filter + exact anti-join vs seen --------------
+    // The probe is fully distributed (cogroup on bloom_pid): no
+    // sketch bytes ever pass through the driver, each task holds one
+    // pid's sketch only.
     val seenPrev = log.readTable(spark, snap, SeenTable)
-    val sketches = log.readTable(spark, snap, SketchTable)
-      .map(collectMergedSketches).getOrElse(Map.empty[Int, Array[Long]])
-    val probed = SeenFilter.probeBloom(batchFirst, "seen_key", cfg.bloomP, params, sketches)
+    val sketchPrev = log.readTable(spark, snap, SketchTable)
+    val probed = sketchPrev
+      .map(skDf => SeenFilter.probeBloomDistributed(batchFirst, "seen_key",
+        cfg.bloomP, params, skDf))
+      .getOrElse(batchFirst.withColumn("might_be_seen", lit(false)))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val definitelyNew = probed.where(!col("might_be_seen")).drop("might_be_seen")
     val possibleDup = probed.where(col("might_be_seen")).drop("might_be_seen")
@@ -272,16 +279,29 @@ object CrawlJob {
     val done = listingPending == 0 && deferredCnt == 0
     val totals = Totals(urlsSeenCnt, filtered, dupDropped, newUnique,
       deniedCnt, fetchedCnt, deferredCnt)
+    // Sketch-table compaction: delta dirs accumulate one per round;
+    // once `sketchCompactEvery` exist, OR-merge them executor-side
+    // (one row per pid) and re-commit as a full rewrite, so reads stay
+    // O(P) rows however long the crawl runs.
+    val sketchDirCount = snap.tables.getOrElse(SketchTable, Nil).size
+    val compactSketch = sketchDirCount + 1 >= cfg.sketchCompactEvery
+    val sketchAll =
+      if (!compactSketch) sketchDelta
+      else SeenFilter.mergeSketches(
+        sketchPrev.map(_.unionByName(sketchDelta)).getOrElse(sketchDelta))
     val next = log.commit(
       deltas = Map(
         SeenTable -> newUniqueDf.select("seen_key", "url", "arrival_seq"),
-        SketchTable -> sketchDelta,
         ResultsTable -> resultsDelta,
         DocsTable -> fetchedDocs,
-        MetricsTable -> metricsDelta),
+        MetricsTable -> metricsDelta) ++
+        (if (compactSketch) Map.empty[String, DataFrame]
+         else Map(SketchTable -> sketchDelta)),
       replaced = Map(
         ListingTable -> nextListingDf.toDF(),
-        DocsFrontierTable -> deferredNow),
+        DocsFrontierTable -> deferredNow) ++
+        (if (compactSketch) Map(SketchTable -> sketchAll)
+         else Map.empty[String, DataFrame]),
       props = Map(
         "round" -> round.toString, "done" -> done.toString,
         "urls_seen" -> urlsSeenCnt.toString, "filtered" -> filtered.toString,
@@ -293,21 +313,6 @@ object CrawlJob {
       deferredNow, fetchedDocs, nextListingDf).foreach(_.unpersist())
     RoundResult(round, totals, next.id, listingPending, deferredCnt)
   }
-
-  /** OR-merge all committed sketch deltas into one map (P entries;
-    * driver holds P × bits/8 bytes — sized by config).
-    */
-  def collectMergedSketches(sketchDf: DataFrame): Map[Int, Array[Long]] =
-    sketchDf.collect()
-      .map(r => r.getLong(0).toInt -> r.getSeq[Long](1).toArray)
-      .groupBy(_._1)
-      .map { case (pid, rows) =>
-        val merged = rows.head._2.clone()
-        rows.tail.foreach { case (_, bits) =>
-          var i = 0; while (i < merged.length) { merged(i) |= bits(i); i += 1 }
-        }
-        pid -> merged
-      }
 
   /** Final stage-1 output: the reference's postprocess over the
     * accumulated results table (A2/A3 windows + F6 projection).

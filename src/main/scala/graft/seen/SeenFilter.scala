@@ -153,9 +153,73 @@ object SeenFilter {
       }.toDF("bloom_pid", "bits")
   }
 
-  /** Probe: candidates → (row, might_be_seen). The sketch map is a
-    * broadcast (P sketches of numBits/8 bytes each); rows whose
-    * partition has no sketch are definitely unseen.
+  /** Distributed probe: candidates → (row..., might_be_seen) with NO
+    * driver-side sketch state. Both sides group on the stable
+    * bloom_pid; a typed cogroup then OR-merges only that pid's delta
+    * rows inside the task and streams candidates through it. Per-task
+    * state = ONE sketch (numBits/8 bytes), regardless of P — at the
+    * 10^10 design point (P=4096 × ~3 MB) the alternative broadcast
+    * map is ~12 GB through the driver and onto every executor per
+    * round. The candidate shuffle on pid is not wasted work: the new
+    * keys that survive the probe are re-partitioned by the same pid
+    * for the sketch-delta build.
+    *
+    * Correctness: a pid with no sketch row ⇒ definitely unseen
+    * (sketches have no false negatives).
+    */
+  def probeBloomDistributed(candidates: DataFrame, urlCol: String, p: Int,
+                            params: BloomParams, sketchDf: DataFrame): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val withPid = candidates.withColumn("__pid", bloomPartition(col(urlCol), p))
+    val urlIdx = withPid.schema.fieldIndex(urlCol)
+    val pidIdx = withPid.schema.fieldIndex("__pid")
+    val outSchema = org.apache.spark.sql.types.StructType(
+      candidates.schema.fields :+
+        org.apache.spark.sql.types.StructField("might_be_seen",
+          org.apache.spark.sql.types.BooleanType, nullable = false))
+    val candKV = withPid.groupByKey(_.getLong(pidIdx))
+    val sketchKV = sketchDf
+      .select(col("bloom_pid").cast("long"), col("bits"))
+      .as[(Long, Array[Long])]
+      .groupByKey(_._1)
+    candKV.cogroup(sketchKV) { (_, cands, sketches) =>
+      var merged: Array[Long] = null
+      sketches.foreach { case (_, bits) =>
+        if (merged == null) merged = bits.clone()
+        else { var i = 0; while (i < merged.length) { merged(i) |= bits(i); i += 1 } }
+      }
+      val sk = merged
+      cands.map { r =>
+        val flag = sk != null && mightContain(sk, params, r.getString(urlIdx))
+        org.apache.spark.sql.Row.fromSeq(r.toSeq.init :+ flag) // drop __pid (last)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** OR-merge accumulated sketch deltas to one row per pid — all
+    * executor-side (groupByKey + reduceGroups; the reduce buffer is a
+    * single bit array). Used to compact the snapshot's sketch table so
+    * reads stay O(P) rows however many rounds have committed deltas.
+    */
+  def mergeSketches(sketchDf: DataFrame): DataFrame = {
+    val spark = sketchDf.sparkSession
+    import spark.implicits._
+    sketchDf.select(col("bloom_pid").cast("long"), col("bits"))
+      .as[(Long, Array[Long])]
+      .groupByKey(_._1)
+      .reduceGroups { (a: (Long, Array[Long]), b: (Long, Array[Long])) =>
+        val m = a._2.clone()
+        var i = 0; while (i < m.length) { m(i) |= b._2(i); i += 1 }
+        (a._1, m)
+      }
+      .map(_._2)
+      .toDF("bloom_pid", "bits")
+  }
+
+  /** Broadcast-map probe — the SMALL-state fast path (narrow, no
+    * exchange). Only correct to reach for when P×numBits/8 is
+    * broadcast-sized; the round loop uses [[probeBloomDistributed]].
     */
   def probeBloom(candidates: DataFrame, urlCol: String, p: Int, params: BloomParams,
                  sketches: Map[Int, Array[Long]]): DataFrame = {

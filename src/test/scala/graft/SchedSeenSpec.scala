@@ -104,6 +104,27 @@ class SchedSeenSpec extends SparkSpec {
     (400 to 500).foreach(i => assert(probed(s"u$i"), s"u$i must probe true"))
   }
 
+  test("distributed probe: no false negatives, multi-delta merge, no driver state") {
+    val s = spark; import s.implicits._
+    val params = SeenFilter.BloomParams(1 << 12, 4)
+    // two delta batches for the same key space — the cogroup must
+    // OR-merge per-pid delta rows in-task
+    val seenA = (1 to 250).map(i => s"u$i").toDF("url")
+    val seenB = (251 to 500).map(i => s"u$i").toDF("url")
+    val sketchDf = SeenFilter.buildPartitionedBloom(seenA, "url", p = 8, params)
+      .unionByName(SeenFilter.buildPartitionedBloom(seenB, "url", p = 8, params))
+    val cands = (400 to 700).map(i => s"u$i").toDF("url")
+    val probed = SeenFilter.probeBloomDistributed(cands, "url", 8, params, sketchDf)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    (400 to 500).foreach(i => assert(probed(s"u$i"), s"u$i must probe true"))
+    // compaction: merged table gives identical probe results, 1 row/pid
+    val merged = SeenFilter.mergeSketches(sketchDf)
+    assert(merged.groupBy("bloom_pid").count().where(col("count") > 1).isEmpty)
+    val probed2 = SeenFilter.probeBloomDistributed(cands, "url", 8, params, merged)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(probed2 == probed)
+  }
+
   test("saltOf is stable and bounded") {
     val urls = Gen.listOfN(50, Gen.alphaNumStr).sample.get
     urls.foreach { u =>
