@@ -74,19 +74,24 @@ object Extract {
   /** The interleaved-docs extraction: docs(doc_id, spans) → long rows
     * (doc_id, item, amount_str, method, offset).
     *
-    * Walk the spans in offset order; a text span whose normalized
-    * text contains the target keyword yields a candidate; its amount
-    * is the first number in the span's own text after the keyword
-    * (the reference scans the table row rightward from the keyword
-    * cell — here cells of one row are one span, '|'-joined); its item
-    * is the nearest PRIOR text span that names a known category
-    * (reference: nearest prior non-empty row). Rows whose parent
-    * category can't be resolved are dropped (reference aborts that
-    * item, report_info_collection.py:188-190).
+    * Reference acceptance rules, reproduced exactly
+    * (report_info_collection.py:122-139, 177-190):
+    *  - A keyword span emits only when a POSITIVE number follows the
+    *    keyword: cells (the '|'-separated segments after the keyword)
+    *    are scanned left→right and the first cell whose first number
+    *    parses > 0 supplies the amount; a keyword row with no number,
+    *    or only non-positive numbers, emits NOTHING (`if not
+    *    found_value: continue`).
+    *  - The item is the category named by the NEAREST PRIOR NON-EMPTY
+    *    span: empty/media spans are skipped upward, but the first
+    *    non-empty span either names a category or the item is ABORTED
+    *    ("break" — a non-category text span, including a previous
+    *    keyword row, RESETS the parent state; markers do not carry
+    *    across intervening paragraphs).
     */
   def extractLongRows(docs: DataFrame): DataFrame = {
-    // Single NARROW pass: the per-document "nearest prior category
-    // header" scan is a left fold over the spans array (higher-order
+    // Single NARROW pass: the per-document "nearest prior non-empty
+    // span" scan is a left fold over the spans array (higher-order
     // aggregate), not a posexplode + window — no shuffle at all, and
     // each document's state is one (current_category, emitted) pair.
     // At the 10^10 design point this is the difference between a
@@ -98,23 +103,28 @@ object Extract {
         array().cast(outType).as("out")),
       (acc, s) => {
         val n = normalizeText(s.getField("text"))
-        val isText = s.getField("kind") === "text"
-        val hasK = n.contains(TargetKeyword)
-        // category marker: first matching category, in Categories
-        // order; keyword rows never mark (reference scans upward for
-        // a non-keyword row — report_info_collection.py:122-139)
+        val nonEmpty = s.getField("kind") === "text" && n.isNotNull && (n =!= "")
+        val hasK = nonEmpty && n.contains(TargetKeyword)
+        // marker for ANY non-empty text span: the first named category
+        // (reference scans normalized_cells for each PARENT_CATEGORY
+        // in order), null when none — null RESETS the parent state
         val marker = Categories.foldRight(lit(null).cast("string")) { (c, alt) =>
-          when(isText && !hasK && n.contains(c), lit(c)).otherwise(alt)
+          when(n.contains(c), lit(c)).otherwise(alt)
         }
-        val amount = coalesce(
-          extractFirstNumber(substring_index(n, TargetKeyword, -1)), lit("0"))
-        val emit = isText && hasK && acc.getField("cat").isNotNull
+        // first POSITIVE number, scanning '|'-cells after the keyword
+        // (reference: per-cell extract, skip cells whose number is
+        // not > 0, report_info_collection.py:177-184)
+        val cellNums = transform(split(substring_index(n, TargetKeyword, -1), "\\|"),
+          c => extractFirstNumber(c))
+        val amount = get(filter(cellNums, x => x.isNotNull && parseAmount(x) > 0), lit(0))
+        val emit = hasK && acc.getField("cat").isNotNull && amount.isNotNull
         val newOut = when(emit,
           concat(acc.getField("out"), array(struct(
             acc.getField("cat").as("item"), amount.as("amount_str"),
             s.getField("offset").as("offset")))))
           .otherwise(acc.getField("out"))
-        struct(coalesce(marker, acc.getField("cat")).as("cat"), newOut.as("out"))
+        struct(when(nonEmpty, marker).otherwise(acc.getField("cat")).as("cat"),
+          newOut.as("out"))
       },
       acc => acc.getField("out"))
     docs

@@ -302,28 +302,35 @@ object CrawlQueries {
       | FROM spans),
       |marked AS (
       | SELECT *,
-      |  CASE WHEN kind = 'text' AND NOT contains(n, '其中：数据资源') THEN
-      |   CASE WHEN contains(n, '存货') THEN '存货'
-      |        WHEN contains(n, '无形资产') THEN '无形资产'
-      |        WHEN contains(n, '开发支出') THEN '开发支出' END END AS marker
+      |  CASE WHEN kind = 'text' AND n IS NOT NULL AND n != '' THEN
+      |   coalesce(
+      |    CASE WHEN contains(n, '存货') THEN '存货'
+      |         WHEN contains(n, '无形资产') THEN '无形资产'
+      |         WHEN contains(n, '开发支出') THEN '开发支出' END,
+      |    '#none') END AS marker
       | FROM norm),
       |parents AS (
       | SELECT *, last_value(marker IGNORE NULLS) OVER
-      |   (PARTITION BY doc_id ORDER BY off ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS parent_cat
+      |   (PARTITION BY doc_id ORDER BY off ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS parent_mark
       | FROM marked),
+      |kwraw AS (
+      | SELECT doc_id, parent_mark AS item,
+      |  string_split(n, '其中：数据资源')[-1] AS after, off
+      | FROM parents
+      | WHERE kind = 'text' AND n IS NOT NULL AND contains(n, '其中：数据资源')
+      |  AND parent_mark IS NOT NULL AND parent_mark != '#none'),
       |kw AS (
-      | SELECT doc_id, parent_cat AS item,
-      |  list_extract(string_split(n, '其中：数据资源'), 2) AS after, off
-      | FROM parents WHERE kind = 'text' AND contains(n, '其中：数据资源') AND parent_cat IS NOT NULL)""".stripMargin
-
-  /** First-number regex ladder over the post-keyword text (E-str6). */
-  private val ladderSql: String =
-    """coalesce(
-      |  nullif(regexp_extract(after, '\d{1,3}(,\d{3})+\.\d{2}', 0), ''),
-      |  nullif(regexp_extract(after, '\d{1,3}(,\d{3})+\.\d+', 0), ''),
-      |  nullif(regexp_extract(after, '\d{1,3}(,\d{3})+', 0), ''),
-      |  nullif(regexp_extract(after, '\d+\.\d+', 0), ''),
-      |  nullif(regexp_extract(after, '\d+', 0), ''), '0')""".stripMargin
+      | SELECT doc_id, item,
+      |  list_filter(
+      |   list_transform(string_split(after, '|'), c -> coalesce(
+      |    nullif(regexp_extract(c, '\d{1,3}(,\d{3})+\.\d{2}', 0), ''),
+      |    nullif(regexp_extract(c, '\d{1,3}(,\d{3})+\.\d+', 0), ''),
+      |    nullif(regexp_extract(c, '\d{1,3}(,\d{3})+', 0), ''),
+      |    nullif(regexp_extract(c, '\d+\.\d+', 0), ''),
+      |    nullif(regexp_extract(c, '\d+', 0), ''))),
+      |   x -> x IS NOT NULL AND TRY_CAST(regexp_replace(x, '[,\s]', '', 'g') AS DECIMAL(20,2)) > 0
+      |  )[1] AS amount_str, off
+      | FROM kwraw)""".stripMargin
 
 
   val oracles: Map[String, String] = Map(
@@ -450,9 +457,9 @@ object CrawlQueries {
 
     "extract_long_rows" ->
       s"""WITH $spanCtes
-        |SELECT doc_id, item, $ladderSql AS amount_str,
+        |SELECT doc_id, item, amount_str,
         | 'table_scan' AS method, CAST(off AS BIGINT) AS offset
-        |FROM kw""".stripMargin,
+        |FROM kw WHERE amount_str IS NOT NULL""".stripMargin,
 
     "seed_expansion" ->
       """SELECT CAST(e.exchange_rank AS BIGINT) AS exchange_rank, e.exchange, c.category,
@@ -477,7 +484,7 @@ object CrawlQueries {
 
     "crawl_dense_rescale" ->
       s"""WITH $spanCtes,
-        |lr AS (SELECT doc_id, item, $ladderSql AS amount_str, off FROM kw),
+        |lr AS (SELECT doc_id, item, amount_str, off FROM kw WHERE amount_str IS NOT NULL),
         |a4 AS (
         | SELECT doc_id, item, amount_str FROM (
         |  SELECT *, row_number() OVER (PARTITION BY doc_id, item

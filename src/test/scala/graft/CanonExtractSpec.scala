@@ -85,7 +85,7 @@ class CanonExtractSpec extends SparkSpec {
     import graft.model.{Doc, Span}
     val doc = Doc("d1", Seq(
       Span("text", "第1节 存货明细", null, 0),
-      Span("media", null, "media://img/a", 1),
+      Span("media", null, "media://img/a", 1),       // empty: skipped upward
       Span("text", "其中：数据资源 | 1,234.56 | 元", null, 2),
       Span("text", "第2节 开发支出说明", null, 3),
       Span("text", "其中：数据资源 | N/A | 元", null, 4),
@@ -95,9 +95,51 @@ class CanonExtractSpec extends SparkSpec {
       .orderBy("doc_id", "offset")
       .select("doc_id", "item", "amount_str", "offset").collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3)))
+    // reference acceptance rules (report_info_collection.py:122-190):
+    //  off 2: parent 存货 across the media span, positive → emit
+    //  off 4: N/A — no positive number → NO row ("continue")
+    //  off 5: nearest prior non-empty is the keyword row at off 4,
+    //         which names no category → ABORT ("break")
+    //  d2: no prior span at all → abort
+    assert(got.toSeq == Seq(("d1", "存货", "1,234.56", 2)))
+  }
+
+  test("extractLongRows: reference abort + positivity rules (E-arr2)") {
+    val s = spark; import s.implicits._
+    import graft.model.{Doc, Span}
+    val docs = Seq(
+      // header → NOISE → keyword: the nearest prior non-empty span
+      // names no category → abort (markers must not carry across)
+      Doc("a1", Seq(
+        Span("text", "第1节 无形资产明细", null, 0),
+        Span("text", "补充说明若干", null, 1),
+        Span("text", "其中：数据资源 | 42 | 元", null, 2))),
+      // header → empty-text + media → keyword: empties are skipped
+      Doc("a2", Seq(
+        Span("text", "第1节 无形资产明细", null, 0),
+        Span("text", "  \n ", null, 1),
+        Span("media", null, "media://x", 2),
+        Span("text", "其中：数据资源 | 42 | 元", null, 3))),
+      // zero amount in the first cell, positive in a later cell: the
+      // reference scans cells rightward PAST non-positive numbers
+      Doc("a3", Seq(
+        Span("text", "存货", null, 0),
+        Span("text", "其中：数据资源 | 0.00 | 77 | 元", null, 1))),
+      // only a zero → no emission
+      Doc("a4", Seq(
+        Span("text", "存货", null, 0),
+        Span("text", "其中：数据资源 | 0 |", null, 1))),
+      // a keyword row that itself names a category parents the NEXT row
+      Doc("a5", Seq(
+        Span("text", "开发支出其中：数据资源 | 5 | 元", null, 0),
+        Span("text", "其中：数据资源 | 6 | 元", null, 1))))
+    val got = Extract.extractLongRows(docs.toDS().toDF())
+      .orderBy("doc_id", "offset")
+      .select("doc_id", "item", "amount_str", "offset").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3)))
     assert(got.toSeq == Seq(
-      ("d1", "存货", "1,234.56", 2),
-      ("d1", "开发支出", "0", 4),   // sentinel N/A → no number → '0'
-      ("d1", "开发支出", "99", 5))) // d2 dropped: no parent category
+      ("a2", "无形资产", "42", 3),
+      ("a3", "存货", "77", 1),
+      ("a5", "开发支出", "6", 1)))
   }
 }
