@@ -42,6 +42,10 @@ object CrawlJob {
       targetYears: Seq[Int] = Seq(2023, 2024),
       maxPagesCap: Int = 500,        // O4 hard page cap (reference: 500)
       emptyRunLimit: Int = 3,        // O4 consecutive-empty stop
+      overshootPages: Int = 3,       // O4: keep paging past totalpages up
+                                     // to +3 (the API lies about totals)
+      overshootEmptyLimit: Int = 2,  // O4: past-end soft stop after 2
+                                     // consecutive empty pages
       saltCount: Int = 8,            // ST2 hot-host salt fan-out
       tokensPerTick: Int = 4,        // ST1 budget per (host,salt) per tick
       ticksPerRound: Int = 8,        // politeness ticks per round
@@ -74,17 +78,25 @@ object CrawlJob {
   def seedListing(seeds: Seq[Seed]): Seq[ListingTask] =
     seeds.map(s => ListingTask(s.exchangeRank, s.exchange, s.epochDay, s.category, 1, 0))
 
-  /** O4 frontier-growth guards (cninfo_report_crawler.py:249-328):
-    * enqueue the next page unless the stream claims no more pages,
-    * `emptyRunLimit` consecutive pages came back empty, or the hard
-    * page cap is hit. Pure — shared by the distributed job and the
+  /** O4 frontier-growth guards (cninfo_report_crawler.py:249-328).
+    * The stream's claimed `totalpages` is NOT trusted as a hard stop:
+    * the reference keeps paging up to totalpages+3 (the API lies
+    * about totals — that overshoot is why late rows aren't dropped),
+    * stopping earlier past the end only after 2 consecutive empty
+    * pages. Everywhere, `emptyRunLimit` consecutive empties stop the
+    * stream; totalpages=0 serves page 1 only; the hard cap (500)
+    * backstops it all. Pure — shared by the distributed job and the
     * test oracle.
     */
   def nextListingTask(t: ListingTask, rowsServed: Int, totalPages: Int,
                       cfg: Config): Option[ListingTask] = {
     val emptyRun = if (rowsServed == 0) t.emptyRun + 1 else 0
-    if (t.page < totalPages && emptyRun < cfg.emptyRunLimit && t.page + 1 <= cfg.maxPagesCap)
-      Some(t.copy(page = t.page + 1, emptyRun = emptyRun))
+    val next = t.page + 1
+    val withinHard = totalPages > 0 && next <= totalPages + cfg.overshootPages
+    val softStop = next > totalPages && emptyRun >= cfg.overshootEmptyLimit
+    val runStop = emptyRun >= cfg.emptyRunLimit
+    if (withinHard && !softStop && !runStop && next <= cfg.maxPagesCap)
+      Some(t.copy(page = next, emptyRun = emptyRun))
     else None
   }
 

@@ -105,11 +105,20 @@ object Fixtures {
     draw(5, "pe", exchangeRank, epochDay, category, page) == 0
 
   /** Rows on a non-empty page: the last page is partial, earlier
-    * pages are full (PageSize) — mirrors real pagination.
+    * pages are full (PageSize) — mirrors real pagination. Pages PAST
+    * the claimed totalpages occasionally still serve rows (~1 in 3,
+    * up to +3): the API lies about totals, which is exactly why the
+    * reference overshoots (O4, cninfo_report_crawler.py:249-257) —
+    * a crawler trusting totalpages as a hard stop drops these rows.
     */
   def rowsOnPage(exchangeRank: Int, epochDay: Int, category: String, page: Int): Int = {
     val tp = totalPages(exchangeRank, epochDay, category)
-    if (page > tp || pageIsEmpty(exchangeRank, epochDay, category, page)) 0
+    if (page > tp) {
+      if (page <= tp + 3 && draw(3, "os", exchangeRank, epochDay, category, page) == 0)
+        1 + draw(8, "osr", exchangeRank, epochDay, category, page)
+      else 0
+    }
+    else if (pageIsEmpty(exchangeRank, epochDay, category, page)) 0
     else if (page < tp) PageSize
     else 1 + draw(PageSize - 1, "rp", exchangeRank, epochDay, category, page)
   }

@@ -111,20 +111,43 @@ class CrawlReplaySpec extends SparkSpec {
     assert(got == want)
   }
 
-  test("O4 page-growth guards: totalpages stop, empty-run stop, hard cap") {
+  test("O4 page-growth guards: overshoot +3, past-end soft stop, empty-run, cap") {
     val cfg2 = CrawlJob.Config(emptyRunLimit = 3, maxPagesCap = 10)
     val t = graft.model.ListingTask(0, "sse", 19800, "annual", page = 1, emptyRun = 0)
     // normal growth resets the empty-run counter
     assert(CrawlJob.nextListingTask(t.copy(emptyRun = 2), 30, 5, cfg2)
       .contains(t.copy(page = 2, emptyRun = 0)))
-    // stop when the stream claims no more pages
-    assert(CrawlJob.nextListingTask(t.copy(page = 5), 7, 5, cfg2).isEmpty)
-    // empty pages count up and stop at the limit
-    assert(CrawlJob.nextListingTask(t.copy(emptyRun = 1), 0, 5, cfg2)
+    // totalpages is NOT a hard stop: overshoot continues past it...
+    assert(CrawlJob.nextListingTask(t.copy(page = 5), 7, 5, cfg2)
+      .contains(t.copy(page = 6, emptyRun = 0)))
+    assert(CrawlJob.nextListingTask(t.copy(page = 7), 4, 5, cfg2)
+      .contains(t.copy(page = 8, emptyRun = 0)))
+    // ...but hard-stops after totalpages+3 even when rows still flow
+    assert(CrawlJob.nextListingTask(t.copy(page = 8), 9, 5, cfg2).isEmpty)
+    // past-end soft stop: 2 consecutive empties past totalpages...
+    assert(CrawlJob.nextListingTask(t.copy(page = 6, emptyRun = 1), 0, 5, cfg2).isEmpty)
+    // ...but a single empty past the end keeps paging
+    assert(CrawlJob.nextListingTask(t.copy(page = 6), 0, 5, cfg2)
+      .contains(t.copy(page = 7, emptyRun = 1)))
+    // totalpages=0: page 1 only (reference :258-261)
+    assert(CrawlJob.nextListingTask(t, 12, 0, cfg2).isEmpty)
+    // pre-end empty-run limit (3) still stops mid-stream
+    assert(CrawlJob.nextListingTask(t.copy(emptyRun = 1), 0, 9, cfg2)
       .contains(t.copy(page = 2, emptyRun = 2)))
-    assert(CrawlJob.nextListingTask(t.copy(emptyRun = 2), 0, 5, cfg2).isEmpty)
+    assert(CrawlJob.nextListingTask(t.copy(emptyRun = 2), 0, 9, cfg2).isEmpty)
     // hard page cap (reference: max_pages_limit=500)
     assert(CrawlJob.nextListingTask(t.copy(page = 10), 30, 99, cfg2).isEmpty)
+  }
+
+  test("O4 overshoot recovers rows the claimed totalpages would drop") {
+    // at least one fixture stream must serve rows past its totalpages
+    val lied = for {
+      ex <- 0 until 2; day <- 19800 to 19801; cat <- Fixtures.Categories
+      tp = Fixtures.totalPages(ex, day, cat)
+      if tp > 0
+      p <- (tp + 1) to (tp + 3)
+    } yield Fixtures.rowsOnPage(ex, day, cat, p)
+    assert(lied.sum > 0, "fixtures must exercise the lying-totalpages path")
   }
 
   test("seen keys equal reference 4-tuple identity (first wins)") {
