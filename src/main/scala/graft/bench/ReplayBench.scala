@@ -139,6 +139,10 @@ object ReplayBench {
     val docs = assigned
       .observe(obsSched, count(lit(1)).as("scheduled"))
       .filter(_.tick_index < ticksFetchable)
+      // S2/S3/F4 validation: probe metadata first, payload only for
+      // survivors (same stage order as the round loop)
+      .filter(o => graft.crawl.Validate.isValidScala(Fixtures.fetchStatus(o.url),
+        Fixtures.fetchContentType(o.url), Fixtures.fetchMagic(o.url)))
       .map { o =>
         val d = Fixtures.docFor(o.url)
         (d.doc_id, d.spans)

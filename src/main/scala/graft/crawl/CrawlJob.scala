@@ -62,7 +62,7 @@ object CrawlJob {
     */
   final case class Totals(urlsSeen: Long, filtered: Long, dupDropped: Long,
                           newUnique: Long, robotsDenied: Long, fetched: Long,
-                          deferred: Long)
+                          invalid: Long, deferred: Long)
 
   final case class RoundResult(round: Int, totals: Totals, snapshotId: Long,
                                listingPending: Long, docsPending: Long)
@@ -261,11 +261,24 @@ object CrawlJob {
       .select("url", "host", "announceEpochDay", "secCode", "pageDepth", "seenKey")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // ---- 9. fetch (synthetic S4) → interleaved-spans docs -----------
-    val fetchedDocs = toFetch.select("url").as[String].map { url =>
-      val d = Fixtures.docFor(url)
-      (d.doc_id, d.spans, round)
-    }.toDF("doc_id", "spans", "fetch_round")
+    // ---- 9. validate (S2/S3/F4) then fetch (S4) ---------------------
+    // HEAD-probe metadata first (status / content-type / magic bytes
+    // as plain columns), payload fetch only for survivors — the
+    // reference's total_valid semantics: HEAD 200 + application/pdf,
+    // with the %PDF byte-sniff rescuing mislabeled content types.
+    val probedFetch = toFetch.select("url").as[String].map { url =>
+      (url, Fixtures.fetchStatus(url), Fixtures.fetchContentType(url),
+        Fixtures.fetchMagic(url))
+    }.toDF("url", "status", "content_type", "magic")
+      .withColumn("__valid",
+        Validate.isValid(col("status"), col("content_type"), col("magic")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val invalidFetch = probedFetch.where(!col("__valid"))
+    val fetchedDocs = probedFetch.where(col("__valid")).select("url").as[String]
+      .map { url =>
+        val d = Fixtures.docFor(url)
+        (d.doc_id, d.spans, round)
+      }.toDF("doc_id", "spans", "fetch_round")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // ---- 10. per-partition lineage metrics --------------------------
@@ -277,11 +290,13 @@ object CrawlJob {
     val metricsDelta =
       partCounts(candidates, "urls_seen")
         .unionByName(partCounts(fetchedDocs, "fetched"))
+        .unionByName(partCounts(invalidFetch, "invalid"))
         .unionByName(partCounts(deferredNow, "deferred"))
         .unionByName(partCounts(denied, "robots_denied"))
         .unionByName(partCounts(candidates.where(!col("__passes")), "filtered"))
 
     val fetchedCnt = fetchedDocs.count()
+    val invalidCnt = invalidFetch.count()
     val deferredCnt = deferredNow.count()
     val deniedCnt = denied.count()
 
@@ -290,7 +305,7 @@ object CrawlJob {
     val listingPending = nextListingDf.count()
     val done = listingPending == 0 && deferredCnt == 0
     val totals = Totals(urlsSeenCnt, filtered, dupDropped, newUnique,
-      deniedCnt, fetchedCnt, deferredCnt)
+      deniedCnt, fetchedCnt, invalidCnt, deferredCnt)
     // Sketch-table compaction: delta dirs accumulate one per round;
     // once `sketchCompactEvery` exist, OR-merge them executor-side
     // (one row per pid) and re-commit as a full rewrite, so reads stay
@@ -319,10 +334,10 @@ object CrawlJob {
         "urls_seen" -> urlsSeenCnt.toString, "filtered" -> filtered.toString,
         "dup_dropped" -> dupDropped.toString, "new_unique" -> newUnique.toString,
         "robots_denied" -> deniedCnt.toString, "fetched" -> fetchedCnt.toString,
-        "deferred" -> deferredCnt.toString))
+        "invalid" -> invalidCnt.toString, "deferred" -> deferredCnt.toString))
 
     Seq(anns, candidates, probed, newUniqueDf, allTasks, gated, assigned,
-      deferredNow, fetchedDocs, nextListingDf).foreach(_.unpersist())
+      deferredNow, probedFetch, fetchedDocs, nextListingDf).foreach(_.unpersist())
     RoundResult(round, totals, next.id, listingPending, deferredCnt)
   }
 

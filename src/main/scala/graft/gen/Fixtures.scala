@@ -230,6 +230,28 @@ object Fixtures {
     Doc(url, spans)
   }
 
+  // -- fetch probe results (S2/S3/F4 validation inputs) ---------------
+
+  /** HTTP status of the synthetic HEAD probe: ~1/20 URLs 404. */
+  def fetchStatus(url: String): Int =
+    if (draw(20, "st", url) == 0) 404 else 200
+
+  /** Declared Content-Type: mostly PDF; ~1/12 text/html (bad), ~1/12
+    * octet-stream (exercises the S3 byte-sniff fallback).
+    */
+  def fetchContentType(url: String): String = draw(12, "ct", url) match {
+    case 0 => "text/html"
+    case 1 => "application/octet-stream"
+    case _ => "application/pdf"
+  }
+
+  /** First payload bytes (the sniffable magic): ~1/3 of URLs whose
+    * content type is wrong really are junk; the rest are PDFs behind
+    * a mislabeled header.
+    */
+  def fetchMagic(url: String): String =
+    if (draw(3, "mg", url) == 0) "<htm" else "%PDF"
+
   // -- robots rules (ST3) ---------------------------------------------
 
   /** (host, path_prefix, allow): a deny-list carving out a slice of

@@ -111,6 +111,23 @@ object CrawlQueries {
           col("has_data_resource"))
     }),
 
+    // S2/S3/F4: fetch validation — HEAD-probe metadata as columns,
+    // accept on 200 + (content-type PDF, or the %PDF magic-byte
+    // sniff rescuing mislabeled responses). A codegen'd predicate;
+    // payloads are only fetched for survivors.
+    "crawl_validate" -> ((s, d) => {
+      val m = md5(col("o_orderkey").cast("string"))
+      val ctSel = ascii(substring(m, 2, 1)) % 12
+      Tables.load(s, d, "orders").select(
+        concat(lit("https://static.cninfo.example/final/"), m, lit(".pdf")).as("url"),
+        when(ascii(substring(m, 1, 1)) % 20 === 0, 404).otherwise(200).as("status"),
+        when(ctSel === 0, "text/html").when(ctSel === 1, "application/octet-stream")
+          .otherwise("application/pdf").as("content_type"),
+        when(ascii(substring(m, 3, 1)) % 3 === 0, "<htm").otherwise("%PDF").as("magic"))
+        .where(graft.crawl.Validate.isValid(
+          col("status"), col("content_type"), col("magic")))
+    }),
+
     // Multimodal plumbing: opaque media refs + deterministic
     // metadata "decode" (the image libs are stubbed; the schema,
     // batching and partition shape are the real thing).
@@ -452,6 +469,19 @@ object CrawlQueries {
         |          FROM lr GROUP BY doc_id)
         |SELECT wide.doc_id, "存货", "无形资产", "开发支出", has_data_resource
         |FROM wide JOIN flags ON wide.doc_id = flags.doc_id""".stripMargin,
+
+    "crawl_validate" ->
+      """WITH probes AS (
+        | SELECT concat('https://static.cninfo.example/final/', m, '.pdf') AS url,
+        |  CASE WHEN ascii(substr(m,1,1)) % 20 = 0 THEN 404 ELSE 200 END AS status,
+        |  CASE ascii(substr(m,2,1)) % 12 WHEN 0 THEN 'text/html'
+        |   WHEN 1 THEN 'application/octet-stream'
+        |   ELSE 'application/pdf' END AS content_type,
+        |  CASE WHEN ascii(substr(m,3,1)) % 3 = 0 THEN '<htm' ELSE '%PDF' END AS magic
+        | FROM (SELECT md5(CAST(o_orderkey AS VARCHAR)) AS m FROM orders))
+        |SELECT url, status, content_type, magic FROM probes
+        |WHERE status = 200
+        | AND (content_type = 'application/pdf' OR substr(magic, 1, 4) = '%PDF')""".stripMargin,
 
     "mm_media_meta" -> graft.ops.MultimodalOps.oracleSql,
 

@@ -89,12 +89,17 @@ object CrawlOracle {
       val (fetchNow, deferNow) = scheduled.partition(_._2 < cfg.ticksPerRound)
       deferred = deferNow.map(_._1)
 
-      // 7. fetch
-      fetchNow.foreach { case (t, _) => docs += t.url -> Fixtures.docFor(t.url) }
+      // 7. validate (S2/S3/F4: status + content-type + magic sniff),
+      // then fetch payloads for the survivors only
+      val (validNow, invalidNow) = fetchNow.partition { case (t, _) =>
+        Validate.isValidScala(Fixtures.fetchStatus(t.url),
+          Fixtures.fetchContentType(t.url), Fixtures.fetchMagic(t.url))
+      }
+      validNow.foreach { case (t, _) => docs += t.url -> Fixtures.docFor(t.url) }
 
-      rounds += RoundTrace(round, fetchNow.map(_._1.url).toSet,
+      rounds += RoundTrace(round, validNow.map(_._1.url).toSet,
         CrawlJob.Totals(urlsSeen, filteredCnt, dupDropped, newUnique.size,
-          deniedTasks.size, fetchNow.size, deferred.size))
+          deniedTasks.size, validNow.size, invalidNow.size, deferred.size))
       listing = nextListing
       round += 1
     }

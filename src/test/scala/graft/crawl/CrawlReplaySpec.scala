@@ -87,8 +87,11 @@ class CrawlReplaySpec extends SparkSpec {
     val newUnique = t.map(_.newUnique).sum
     // urls_seen fully accounted for
     assert(urlsSeen == filtered + dups + newUnique)
-    // every unique URL was fetched or robots-denied (frontier drained)
-    assert(newUnique == t.map(_.fetched).sum + t.map(_.robotsDenied).sum)
+    // every unique URL was fetched, rejected by validation, or
+    // robots-denied (frontier drained)
+    assert(newUnique == t.map(_.fetched).sum + t.map(_.invalid).sum +
+      t.map(_.robotsDenied).sum)
+    assert(t.map(_.invalid).sum > 0, "fixture must exercise fetch validation")
 
     // per-partition metrics table sums to the same totals
     val snap = log.latest().get
@@ -97,6 +100,7 @@ class CrawlReplaySpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(m("urls_seen") == urlsSeen)
     assert(m("fetched") == t.map(_.fetched).sum)
+    assert(m("invalid") == t.map(_.invalid).sum)
     assert(m("robots_denied") == t.map(_.robotsDenied).sum)
     assert(m("filtered") == filtered)
     assert(m.getOrElse("deferred", 0L) == t.map(_.deferred).sum)
