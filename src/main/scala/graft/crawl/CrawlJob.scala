@@ -55,6 +55,7 @@ object CrawlJob {
       bloomHashes: Int = 4,
       sketchCompactEvery: Int = 4,   // OR-merge sketch deltas when the
                                      // table reaches this many dirs
+      commitFiles: Int = 8,          // file fan-in for small round tables
       maxRounds: Int = 1000)
 
   /** Global lineage totals for one round (the per-partition rows live
@@ -178,8 +179,6 @@ object CrawlJob {
     val candidates = anns
       .withColumn("__passes", passes)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val urlsSeenCnt = candidates.count() // total examined this round
-    val filtered = candidates.where(!col("__passes")).count()
 
     val kept = candidates.where(col("__passes"))
       .withColumn("url", concat(lit(Fixtures.UrlBase), col("adjunct_url")))
@@ -210,8 +209,6 @@ object CrawlJob {
     }
     val newUniqueDf = definitelyNew.unionByName(confirmedNew)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val newUnique = newUniqueDf.count()
-    val dupDropped = urlsSeenCnt - filtered - newUnique
 
     // ---- 5. build this round's sketch delta over new keys ----------
     val sketchDelta = SeenFilter.buildPartitionedBloom(
@@ -282,27 +279,41 @@ object CrawlJob {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // ---- 10. per-partition lineage metrics --------------------------
+    // ONE action materializes every persisted stage and yields every
+    // scalar the round needs (totals, stop flags, reconciliation) —
+    // the per-counter count() jobs this replaces were the dominant
+    // round overhead (~8 extra job submissions per round).
     def partCounts(df: DataFrame, counter: String): DataFrame =
       df.groupBy(spark_partition_id().as("partition_id"))
         .agg(count(lit(1)).as("n"))
         .select(lit(round).as("round"), lit(counter).as("counter"),
           col("partition_id"), col("n"))
+    val nextListingDf = nextListing.toDF().persist(StorageLevel.MEMORY_AND_DISK)
     val metricsDelta =
       partCounts(candidates, "urls_seen")
+        .unionByName(partCounts(candidates.where(!col("__passes")), "filtered"))
+        .unionByName(partCounts(newUniqueDf, "new_unique"))
         .unionByName(partCounts(fetchedDocs, "fetched"))
         .unionByName(partCounts(invalidFetch, "invalid"))
         .unionByName(partCounts(deferredNow, "deferred"))
         .unionByName(partCounts(denied, "robots_denied"))
-        .unionByName(partCounts(candidates.where(!col("__passes")), "filtered"))
-
-    val fetchedCnt = fetchedDocs.count()
-    val invalidCnt = invalidFetch.count()
-    val deferredCnt = deferredNow.count()
-    val deniedCnt = denied.count()
+        .unionByName(partCounts(nextListingDf, "listing_pending"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    val totalsByCounter = metricsDelta
+      .groupBy("counter").agg(sum("n").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .withDefaultValue(0L)
+    val urlsSeenCnt = totalsByCounter("urls_seen")
+    val filtered = totalsByCounter("filtered")
+    val newUnique = totalsByCounter("new_unique")
+    val fetchedCnt = totalsByCounter("fetched")
+    val invalidCnt = totalsByCounter("invalid")
+    val deferredCnt = totalsByCounter("deferred")
+    val deniedCnt = totalsByCounter("robots_denied")
+    val listingPending = totalsByCounter("listing_pending")
+    val dupDropped = urlsSeenCnt - filtered - newUnique
 
     // ---- 11. atomic snapshot commit ---------------------------------
-    val nextListingDf = nextListing.toDF().persist(StorageLevel.MEMORY_AND_DISK)
-    val listingPending = nextListingDf.count()
     val done = listingPending == 0 && deferredCnt == 0
     val totals = Totals(urlsSeenCnt, filtered, dupDropped, newUnique,
       deniedCnt, fetchedCnt, invalidCnt, deferredCnt)
@@ -311,24 +322,32 @@ object CrawlJob {
     // (one row per pid) and re-commit as a full rewrite, so reads stay
     // O(P) rows however long the crawl runs.
     val sketchDirCount = snap.tables.getOrElse(SketchTable, Nil).size
-    val compactSketch = sketchDirCount + 1 >= cfg.sketchCompactEvery
-    val sketchAll =
-      if (!compactSketch) sketchDelta
-      else SeenFilter.mergeSketches(
-        sketchPrev.map(_.unionByName(sketchDelta)).getOrElse(sketchDelta))
+    val compactSketch =
+      sketchPrev.isDefined && sketchDirCount + 1 >= cfg.sketchCompactEvery
+    // Deltas known (from the counters) to be empty are omitted — no
+    // wasted write jobs, no empty dirs in the manifest. Small round
+    // tables coalesce to a few files (they are counter/frontier-sized;
+    // the payload-bearing docs table keeps its write parallelism).
+    def small(df: DataFrame): DataFrame = df.coalesce(cfg.commitFiles)
+    val deltas = Seq(
+      (newUnique > 0, SeenTable,
+        small(newUniqueDf.select("seen_key", "url", "arrival_seq"))),
+      (newUnique > 0, ResultsTable, small(resultsDelta)),
+      (fetchedCnt > 0, DocsTable, fetchedDocs),
+      (true, MetricsTable, small(metricsDelta)),
+      (!compactSketch && newUnique > 0, SketchTable, sketchDelta))
+      .collect { case (nonEmpty, name, df) if nonEmpty => name -> df }
+      .toMap
+    val replaced = Map(
+      ListingTable -> small(nextListingDf.toDF()),
+      DocsFrontierTable -> small(deferredNow)) ++
+      (if (compactSketch)
+         Map(SketchTable -> SeenFilter.mergeSketches(
+           sketchPrev.get.unionByName(sketchDelta)))
+       else Map.empty[String, DataFrame])
     val next = log.commit(
-      deltas = Map(
-        SeenTable -> newUniqueDf.select("seen_key", "url", "arrival_seq"),
-        ResultsTable -> resultsDelta,
-        DocsTable -> fetchedDocs,
-        MetricsTable -> metricsDelta) ++
-        (if (compactSketch) Map.empty[String, DataFrame]
-         else Map(SketchTable -> sketchDelta)),
-      replaced = Map(
-        ListingTable -> nextListingDf.toDF(),
-        DocsFrontierTable -> deferredNow) ++
-        (if (compactSketch) Map(SketchTable -> sketchAll)
-         else Map.empty[String, DataFrame]),
+      deltas = deltas,
+      replaced = replaced,
       props = Map(
         "round" -> round.toString, "done" -> done.toString,
         "urls_seen" -> urlsSeenCnt.toString, "filtered" -> filtered.toString,
@@ -337,7 +356,8 @@ object CrawlJob {
         "invalid" -> invalidCnt.toString, "deferred" -> deferredCnt.toString))
 
     Seq(anns, candidates, probed, newUniqueDf, allTasks, gated, assigned,
-      deferredNow, probedFetch, fetchedDocs, nextListingDf).foreach(_.unpersist())
+      deferredNow, probedFetch, fetchedDocs, nextListingDf, metricsDelta)
+      .foreach(_.unpersist())
     RoundResult(round, totals, next.id, listingPending, deferredCnt)
   }
 
