@@ -102,4 +102,24 @@ object Canon {
     coalesce(
       to_date(timestamp_millis(timeMs)),
       to_date(substring_index(timeStr, " ", 1)))
+
+  /** E-str7: filename sanitization — the reference's
+    * `re.sub(r'[\\/:*?"<>|]', '_', name)` (report_info_collection.py:238).
+    * Sink-side only.
+    */
+  def sanitizeFilename(name: Column): Column =
+    regexp_replace(name, "[\\\\/:*?\"<>|]", "_")
+
+  def sanitizeFilenameScala(name: String): String =
+    name.replaceAll("[\\\\/:*?\"<>|]", "_")
+
+  /** The reference's payload filename shape:
+    * sanitize("{company}：{title}_[{date}]") + ".pdf"
+    * (report_info_collection.py:236-239).
+    */
+  def pdfFileName(company: Column, title: Column, reportDate: Column): Column =
+    concat(
+      sanitizeFilename(concat(company, lit("："), title,
+        lit("_["), reportDate.cast("string"), lit("]"))),
+      lit(".pdf"))
 }

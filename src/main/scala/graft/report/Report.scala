@@ -80,6 +80,54 @@ object Report {
     if (trimmed.isEmpty) "0" else trimmed
   }
 
+  // ---- presentation sinks (Chinese headers, reference layouts) ------
+  // Engine tables keep ASCII names; the reference's Chinese column
+  // names appear ONLY here, at the sink boundary (SURVEY.md §1.1 #4).
+
+  /** Stage-1 CSV layout: 股票代码,公司名称,财报名称,报告日期,PDF链接
+    * in exactly that order (cninfo_report_crawler.py:535).
+    */
+  val Stage1ChineseColumns: Seq[(String, String)] = Seq(
+    "sec_code" -> "股票代码", "company" -> "公司名称", "title" -> "财报名称",
+    "report_date" -> "报告日期", "pdf_url" -> "PDF链接")
+
+  def presentStage1(df: DataFrame): DataFrame =
+    df.select(Stage1ChineseColumns.map { case (a, c) => col(a).as(c) }: _*)
+
+  /** Long-report layout (report_info_collection.py:672-676):
+    * 证券代码,公司名称,报告名称,报告日期,项目名称,金额,PDF链接
+    * (+ _has_data_resource as 0/1 when present).
+    */
+  val LongChineseColumns: Seq[(String, String)] = Seq(
+    "sec_code" -> "证券代码", "company" -> "公司名称", "title" -> "报告名称",
+    "report_date" -> "报告日期", "item" -> "项目名称", "amount_str" -> "金额",
+    "pdf_url" -> "PDF链接", "has_flag" -> "_has_data_resource")
+
+  /** Wide-report layout (report_info_collection.py:537-546): base
+    * info → amount columns → 是否包含数据资产 → PDF链接, keeping only
+    * the columns that exist (the reference filters final_columns the
+    * same way); the flag presents as 0/1.
+    */
+  val WideChineseOrder: Seq[String] = Seq(
+    "证券代码", "公司名称", "报告名称", "报告日期",
+    "存货", "无形资产", "开发支出", "是否包含数据资产", "PDF链接")
+
+  private val WideRenames: Seq[(String, String)] = Seq(
+    "sec_code" -> "证券代码", "company" -> "公司名称", "title" -> "报告名称",
+    "report_date" -> "报告日期", "has_data_resource" -> "是否包含数据资产",
+    "pdf_url" -> "PDF链接")
+
+  def presentWide(df: DataFrame): DataFrame = {
+    val renamed = WideRenames.foldLeft(df) { case (d, (a, c)) =>
+      if (d.columns.contains(a)) d.withColumnRenamed(a, c) else d
+    }
+    val flagged =
+      if (renamed.columns.contains("是否包含数据资产"))
+        renamed.withColumn("是否包含数据资产", col("是否包含数据资产").cast("int"))
+      else renamed
+    flagged.select(WideChineseOrder.filter(flagged.columns.contains).map(col): _*)
+  }
+
   /** A5+J3: pivot long rows to the wide report and attach the
     * has-data-resource flag (report_info_collection.py:492-528).
     * Pivot uses the explicit category list so the plan stays static.
