@@ -5,18 +5,25 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark entry (driver-run per round → BENCH_r{N}.json).
   *
-  * Emits ONE JSON line:
+  * Emits ONE JSON line on stdout AND writes it to BENCH/latest.json
+  * (stdout gets wrapped in sbt's [info] prefix; the file is the
+  * machine-readable artifact):
   *  - metric/value/unit: the north-star URLs scheduled+fetched/sec on
   *    the seed-list replay pipeline at the 4N level
   *  - scaling: the same replay at local[N] vs local[4N] (default
   *    2 vs 8; see the in-code note on SMT) on identical input with
-  *    FIXED partitioning; efficiency = (thr_4N / thr_N) / 4
+  *    FIXED partitioning; efficiency = (thr_4N / thr_N) / 4,
+  *    SYMMETRIC min-of-2 runs per level (hi bracketing lo), per-level
+  *    stage times included; an efficiency outside (0, 1.02] is a
+  *    measurement pathology — it triggers a loud re-measure and, if
+  *    persistent, "anomalous":true in the emission
   *  - queries: per-operator wall seconds over SPARK_GRAFT_SF_DIR
   *
   * Env knobs: SPARK_GRAFT_SF_DIR (query corpus), SPARK_GRAFT_CPUS
   * (query-phase parallelism), SPARK_GRAFT_BENCH_URLS (replay size,
   * default 2,000,000), SPARK_GRAFT_BENCH_LO/HI (parallelism pair),
-  * SPARK_GRAFT_PARTS (fixed partition count).
+  * SPARK_GRAFT_PARTS (fixed partition count), SPARK_GRAFT_BENCH_OUT
+  * (JSON artifact path, default BENCH/latest.json).
   */
 object Bench {
 
@@ -56,17 +63,48 @@ object Bench {
     val loLevel = sys.env.getOrElse("SPARK_GRAFT_BENCH_LO", "2").toInt
     val hiLevel = sys.env.getOrElse("SPARK_GRAFT_BENCH_HI", "8").toInt
     val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", (2 * hiLevel).toString).toInt
-    def runLevel(level: Int, reps: Int): ReplayBench.PipelineStats = {
+    def runLevel(level: Int, reps: Int): Seq[ReplayBench.PipelineStats] = {
       val s = session(level, parts)
-      try (1 to reps).map(_ => ReplayBench.run(s, nUrls)).minBy(_.wallSec)
+      try (1 to reps).map(_ => ReplayBench.run(s, nUrls))
       finally s.stop()
     }
+    def eff(lo: ReplayBench.PipelineStats, hi: ReplayBench.PipelineStats): Double =
+      (hi.throughput / lo.throughput) / (hiLevel.toDouble / loLevel)
+    // SYMMETRIC min-of-2 per level; the hi pair brackets the lo pair
+    // so JVM drift hits both levels, not just one.
     runLevel(hiLevel, 1) // discard: JVM-global JIT/heap warm-up
-    val hiA = runLevel(hiLevel, 1)
-    val lo = runLevel(loLevel, 2)
-    val hiB = runLevel(hiLevel, 2)
-    val hi = Seq(hiA, hiB).minBy(_.wallSec) // bracket JVM drift
-    val efficiency = (hi.throughput / lo.throughput) / (hiLevel.toDouble / loLevel)
+    var hiRuns = runLevel(hiLevel, 1)
+    var loRuns = runLevel(loLevel, 2)
+    hiRuns ++= runLevel(hiLevel, 1)
+    var lo = loRuns.minBy(_.wallSec)
+    var hi = hiRuns.minBy(_.wallSec)
+    var efficiency = eff(lo, hi)
+    // An efficiency outside (0, 1.02] is physically impossible for
+    // this job — a measurement pathology (box contention, a stalled
+    // level), not a scaling result. Fail loudly: dump per-level stage
+    // times, re-measure once, and flag the emission if it persists.
+    def dumpStages(tag: String, runs: Seq[ReplayBench.PipelineStats]): Unit =
+      runs.foreach { r =>
+        System.err.println(f"[bench] $tag wall=${r.wallSec}%.2fs thr=${r.throughput}%.0f " +
+          r.stageSec.map { case (k, v) => f"$k=$v%.2fs" }.mkString(" "))
+      }
+    if (efficiency > 1.02 || efficiency <= 0) {
+      System.err.println(f"[bench] ANOMALOUS efficiency=$efficiency%.3f " +
+        f"(lo ${lo.wallSec}%.2fs, hi ${hi.wallSec}%.2fs) — re-measuring both levels")
+      dumpStages(s"local$loLevel", loRuns); dumpStages(s"local$hiLevel", hiRuns)
+      hiRuns ++= runLevel(hiLevel, 1)
+      loRuns ++= runLevel(loLevel, 2)
+      hiRuns ++= runLevel(hiLevel, 1)
+      lo = loRuns.minBy(_.wallSec)
+      hi = hiRuns.minBy(_.wallSec)
+      efficiency = eff(lo, hi)
+    }
+    val anomalous = efficiency > 1.02 || efficiency <= 0
+    if (anomalous) {
+      System.err.println(f"[bench] efficiency STILL anomalous after re-measure: " +
+        f"$efficiency%.3f — emitting with \"anomalous\":true; do not trust this number")
+      dumpStages(s"local$loLevel", loRuns); dumpStages(s"local$hiLevel", hiRuns)
+    }
 
     // ---- phase 2 (run second: keeps the scaling JVM fresh): queries on the sf corpus ------------
     val results: Map[String, Double] =
@@ -82,17 +120,30 @@ object Bench {
         r
       }
 
-    def statsJson(p: ReplayBench.PipelineStats): String =
+    def statsJson(p: ReplayBench.PipelineStats): String = {
+      val stages = p.stageSec.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
       s"""{"urls":${p.urlsSeen},"scheduled":${p.scheduled},"fetched":${p.fetched},""" +
-        s""""spans":${p.spans},"sec":${f"${p.wallSec}%.3f"},"urls_per_sec":${f"${p.throughput}%.1f"}}"""
+        s""""spans":${p.spans},"sec":${f"${p.wallSec}%.3f"},""" +
+        s""""urls_per_sec":${f"${p.throughput}%.1f"},"stages":$stages}"""
+    }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val totalQ = results.values.sum
-    println(
+    val json =
       s"""{"metric":"urls_scheduled_fetched_per_sec","value":${f"${hi.throughput}%.1f"},""" +
         s""""unit":"urls/sec","queries":$qs,"queries_total_sec":${f"$totalQ%.3f"},""" +
-        s""""sf":"$sfDir","scaling":{"local$loLevel":${statsJson(lo)},"local$hiLevel":${statsJson(hi)},""" +
-        s""""n_lo":$loLevel,"n_hi":$hiLevel,"efficiency":${f"$efficiency%.3f"}}}""")
+        s""""sf":"$sfDir","anomalous":$anomalous,""" +
+        s""""scaling":{"local$loLevel":${statsJson(lo)},"local$hiLevel":${statsJson(hi)},""" +
+        s""""n_lo":$loLevel,"n_hi":$hiLevel,"efficiency":${f"$efficiency%.3f"}}}"""
+    // stdout for humans/drivers that scrape the log...
+    println(json)
+    // ...and a clean file artifact (sbt prefixes stdout with [info],
+    // which broke the round-1 driver parse — the file is unwrapped).
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH/latest.json"))
+    Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(outPath, json + "\n")
   }
 }

@@ -59,8 +59,8 @@ object ReplayBench {
     * `fineStages`: also time each sub-pipeline with its own action
     * (debugging only — recomputes prefixes, inflates wall time).
     */
-  def run(spark: SparkSession, n: Long, saltCount: Int = 64,
-          tokensPerTick: Int = 64, ticksFetchable: Long = 256,
+  def run(spark: SparkSession, n: Long, saltCount: Int = 256,
+          tokensPerTick: Int = 16, ticksFetchable: Long = 256,
           bloomP: Int = 64, fineStages: Boolean = false): PipelineStats = {
     import spark.implicits._
     val stages = scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -103,8 +103,18 @@ object ReplayBench {
 
     // bloom split + exact confirm (A6 + J1) — the distributed cogroup
     // probe (the round loop's design-point path: no driver-side
-    // sketch state, each task holds one pid's sketch)
-    val probed = SeenFilter.probeBloomDistributed(first, "seen_key", bloomP, params, sketchDf)
+    // sketch state, each task holds one pid's sketch).
+    // SPARK_GRAFT_PROBE=broadcast switches to the small-state
+    // collect+broadcast probe for A/B measurements.
+    // persisted: BOTH branches of the bloom split consume it — without
+    // the persist the probe shuffle (and everything upstream) runs twice
+    val probed =
+      (if (sys.env.get("SPARK_GRAFT_PROBE").contains("broadcast"))
+        SeenFilter.probeBloom(first, "seen_key", bloomP, params,
+          SeenFilter.collectSketches(sketchDf))
+      else
+        SeenFilter.probeBloomDistributed(first, "seen_key", bloomP, params, sketchDf))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newKeys = probed.where(!col("might_be_seen")).drop("might_be_seen")
       .unionByName(probed.where(col("might_be_seen")).drop("might_be_seen")
         .join(preSeen, Seq("seen_key"), "left_anti"))
@@ -156,6 +166,7 @@ object ReplayBench {
     val wall = (System.nanoTime() - t0) / 1e9
     preSeen.unpersist()
     sketchDf.unpersist()
+    probed.unpersist()
     PipelineStats(n, scheduled, fetched, spans, wall, stages.toMap)
   }
 }

@@ -39,12 +39,20 @@ object DedupOps {
     * Stopword-shingle frequency capping (maxDf) is the second guard.
     */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shinglesRaw(docs, idCol, textCol, n).distinct()
+
+  /** Shingles WITHOUT the distinct — min-style consumers (minhash)
+    * are insensitive to duplicates, so they skip the dedup exchange
+    * entirely and feed the narrow flatMap straight into their own
+    * aggregation (one shuffle instead of two).
+    */
+  private def shinglesRaw(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame =
     docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
       .where(size(col("__t")) >= n)
       .select(col(idCol), explode(sequence(lit(1), size(col("__t")) - (n - 1))).as("pos"),
         col("__t"))
       .select(col(idCol), array_join(slice(col("__t"), col("pos"), lit(n)), " ").as("shingle"))
-      .distinct()
 
   /** n-gram Jaccard near-dup pairs with similarity ≥ num/den
     * (exact rational compare: den·|A∩B| ≥ num·(|A|+|B|−|A∩B|)).
@@ -94,7 +102,7 @@ object DedupOps {
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, bands: Int, rows: Int): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n)
+    val sh = shinglesRaw(docs, idCol, textCol, n) // min() ignores dups: no distinct exchange
     val minCols = (0 until bands * rows).map(h =>
       min(md5(concat(lit(s"$h:"), col("shingle")))).as(s"mh$h"))
     val sigs = sh.groupBy(col(idCol)).agg(minCols.head, minCols.tail: _*)

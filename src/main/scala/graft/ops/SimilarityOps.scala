@@ -62,8 +62,9 @@ object SimilarityOps {
   }
 
   /** IVF-style ANN: candidates are restricted to the query's bucket
-    * (here: the precomputed cluster label — at scale, the nearest
-    * coarse centroid id). Same output shape as [[annBruteForce]].
+    * (a precomputed cluster label). Kept for label-partitioned
+    * corpora; [[annIvfCentroids]] is the real-IVF path that computes
+    * its own coarse quantizer.
     */
   def annIvf(queries: DataFrame, candidates: DataFrame,
              idCol: String, vecCol: String, bucketCol: String, k: Int): DataFrame = {
@@ -74,6 +75,57 @@ object SimilarityOps {
       .select(col(idCol).as("neighbor_id"), col(bucketCol).as("__bkt"),
         col("qv").as("c_qv"), col("nsq").as("c_nsq"))
     topK(c.join(broadcast(q), Seq("__bkt")), k)
+  }
+
+  /** IVF with a REAL coarse quantizer: `numCentroids` deterministic
+    * seed centroids (the vectors with the smallest ids — at the 100 TB
+    * design point these come from a sampled k-means; seed rows keep
+    * the assignment exactly reproducible for the oracle), every
+    * candidate assigned to its nearest centroid by cosine (exact
+    * integer dot/norms, deterministic centroid-id tie-break), queries
+    * probing their `nprobe` nearest cells.
+    *
+    * Plan shape at scale: assignment is a broadcast nested-loop of K
+    * tiny centroid rows against the table — a NARROW map over the big
+    * side (no shuffle); the search is then an equi-join on cell id
+    * with the nprobe-expanded query set broadcast. A candidate lives
+    * in exactly one cell, so probe results need no pair dedup.
+    */
+  def annIvfCentroids(queries: DataFrame, candidates: DataFrame,
+                      idCol: String, vecCol: String, k: Int,
+                      numCentroids: Int, nprobe: Int): DataFrame = {
+    // The centroid set rides as ONE broadcast row holding an array —
+    // assignment is then a per-row argmax over that array: a NARROW
+    // map over the big side (no shuffle, no window; a row_number
+    // formulation would re-shuffle every vector just to rank K=8
+    // centroids).
+    val centArr = quantized(candidates.where(col(idCol) < numCentroids), idCol, vecCol)
+      .agg(collect_list(struct(col(idCol).cast("long").as("cid"),
+        col("qv").as("cent_qv"), col("nsq").as("cent_nsq"))).as("__cents"))
+    def assignCells(df: DataFrame, probes: Int): DataFrame = {
+      val scored = transform(col("__cents"), c => struct(
+        cosineQ(dotQ(col("qv"), c.getField("cent_qv")), col("nsq"),
+          c.getField("cent_nsq")).as("cos"),
+        c.getField("cid").as("cid")))
+      val byCosDescCidAsc = (l: Column, r: Column) =>
+        when(l.getField("cos") > r.getField("cos"), -1)
+          .when(l.getField("cos") < r.getField("cos"), 1)
+          .when(l.getField("cid") < r.getField("cid"), -1)
+          .when(l.getField("cid") > r.getField("cid"), 1)
+          .otherwise(0)
+      quantized(df, idCol, vecCol)
+        .crossJoin(broadcast(centArr))
+        .withColumn("__probe", explode(slice(array_sort(scored, byCosDescCidAsc),
+          1, probes)))
+        .select(col(idCol), col("__probe.cid").as("cell"), col("qv"), col("nsq"))
+    }
+    val idx = assignCells(candidates, 1)
+      .select(col(idCol).as("neighbor_id"), col("cell"),
+        col("qv").as("c_qv"), col("nsq").as("c_nsq"))
+    val qs = assignCells(queries, nprobe)
+      .select(col(idCol).as("query_id"), col("cell"),
+        col("qv").as("q_qv"), col("nsq").as("q_nsq"))
+    topK(idx.join(broadcast(qs), Seq("cell")), k)
   }
 
   private def topK(joined: DataFrame, k: Int): DataFrame = {

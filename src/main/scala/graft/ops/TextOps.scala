@@ -22,29 +22,48 @@ object TextOps {
   def tokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
 
-  /** Tiny per-language stopword lists for the stopword-hit
-    * language-ID heuristic. Deterministic tie-break: first match in
-    * `langPriority` order wins.
+  /** Per-language stopword lists (the standard high-frequency
+    * function words; ASCII-only because [[tokens]] segments on
+    * [a-z]+) for the stopword-hit language-ID heuristic.
+    * Deterministic tie-break: first match in `langPriority` order
+    * wins. Chinese is NOT a stopword language here — Latin
+    * tokenization cannot see it — so zh scores by CJK codepoint
+    * count ([[cjkCount]]) instead.
     */
   val stopwords: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "a", "of", "and", "to"),
-    "de" -> Seq("der", "die", "das", "und", "ist"),
-    "es" -> Seq("el", "los", "las", "y", "es"),
-    "fr" -> Seq("le", "les", "et", "est", "une"),
-    "zh" -> Seq("de0", "shi0", "le0", "zai0", "he0")) // pinyin-ish placeholders
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "that", "it", "is",
+      "was", "for", "on", "are", "with", "as", "at", "this", "but",
+      "have", "from"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ich", "nicht", "ein",
+      "eine", "mit", "auf", "von", "sie", "wir", "dem", "den", "im",
+      "zu", "sich", "auch"),
+    "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "en", "un",
+      "una", "es", "por", "con", "para", "su", "al", "lo", "como",
+      "se", "pero"),
+    "fr" -> Seq("le", "la", "les", "des", "et", "est", "un", "une",
+      "dans", "que", "qui", "pour", "sur", "avec", "au", "pas", "ce",
+      "il", "elle", "ne"))
 
   val langPriority: Seq[String] = Seq("en", "de", "es", "fr", "zh")
+
+  /** The same pattern string works in Java regex and RE2 (DuckDB). */
+  val CjkPattern = "[\\x{4e00}-\\x{9fff}]"
+
+  def cjkCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(CjkPattern), lit(0)))
 
   def langScore(toks: Column, lang: String): Column =
     stopwords(lang).map(w => array_contains(toks, w).cast("int")).reduce(_ + _)
 
-  /** Language ID over a text column: integer stopword-hit scores per
-    * language, arg-max with fixed priority order.
+  /** Language ID over a text column: integer stopword-hit scores for
+    * the Latin-token languages, CJK codepoint count for zh, arg-max
+    * with fixed priority order.
     */
   def langId(df: DataFrame, text: Column): DataFrame = {
     val withToks = df.withColumn("__toks", tokens(text))
     val scored = langPriority.foldLeft(withToks) { (d, l) =>
-      d.withColumn(s"score_$l", langScore(col("__toks"), l).cast("long"))
+      d.withColumn(s"score_$l",
+        (if (l == "zh") cjkCount(text) else langScore(col("__toks"), l)).cast("long"))
     }
     val scoreCols = langPriority.map(l => col(s"score_$l"))
     val best = greatest(scoreCols: _*)

@@ -417,7 +417,8 @@ object CrawlQueries {
         |  FROM stream) WHERE rn = 1),
         |salted AS (
         | SELECT url, host,
-        |  (ascii(substr(md5(url),1,1)) * 31 + ascii(substr(md5(url),2,1))) % 4 AS salt,
+        |  (ascii(substr(md5(url),1,1)) * 2248091 + ascii(substr(md5(url),2,1)) * 17161
+        |   + ascii(substr(md5(url),3,1)) * 131 + ascii(substr(md5(url),4,1))) % 4 AS salt,
         |  priority
         | FROM kept),
         |ranked AS (

@@ -55,10 +55,13 @@ object PipelineQueries {
         "vec_id", "embedding", k = 5)
     }),
 
+    // Real IVF: 8 seed centroids, every vector assigned to its
+    // nearest cell (narrow broadcast argmax), queries probe their 2
+    // nearest cells (nprobe=2).
     "ann_ivf_topk" -> ((s, d) => {
       val e = emb(s, d)
-      SimilarityOps.annIvf(e.where(col("vec_id") % 50 === 0), e,
-        "vec_id", "embedding", "label", k = 5)
+      SimilarityOps.annIvfCentroids(e.where(col("vec_id") % 50 === 0), e,
+        "vec_id", "embedding", k = 5, numCentroids = 8, nprobe = 2)
     }),
 
     "text_langid" -> ((s, d) =>
@@ -78,7 +81,8 @@ object PipelineQueries {
       TextOps.winnowFingerprints(docs(s, d), "doc_id", "text")))
 
   private def langScoreSql(l: String): String =
-    TextOps.stopwords(l).map(w => s"CAST(list_contains(toks, '$w') AS INT)").mkString(" + ")
+    if (l == "zh") s"len(regexp_extract_all(text, '${TextOps.CjkPattern}'))"
+    else TextOps.stopwords(l).map(w => s"CAST(list_contains(toks, '$w') AS INT)").mkString(" + ")
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -152,12 +156,27 @@ object PipelineQueries {
         |FROM r WHERE rnk <= 5""".stripMargin,
 
     "ann_ivf_topk" ->
-      s"""WITH q AS (SELECT vec_id, label, $quantSql AS qv FROM embeddings),
-        |n AS (SELECT vec_id, label, qv, ${dotSql("qv", "qv")} AS nsq FROM q),
-        |p AS (
-        | SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-        |  CAST(${dotSql("a.qv", "b.qv")} AS DOUBLE)/sqrt(CAST(a.nsq*b.nsq AS DOUBLE)) AS cos
-        | FROM n a JOIN n b ON a.label = b.label AND a.vec_id != b.vec_id WHERE a.vec_id % 50 = 0),
+      s"""WITH q AS (SELECT vec_id, $quantSql AS qv FROM embeddings),
+        |n AS (SELECT vec_id, qv, ${dotSql("qv", "qv")} AS nsq FROM q),
+        |cents AS (SELECT vec_id AS cid, qv AS cent_qv, nsq AS cent_nsq FROM n WHERE vec_id < 8),
+        |asg0 AS (
+        | SELECT vec_id, cid, ${dotSql("qv", "cent_qv")} AS cdot, nsq, cent_nsq
+        | FROM n CROSS JOIN cents),
+        |asg AS (
+        | SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |   ORDER BY CAST(cdot AS DOUBLE)/sqrt(CAST(nsq*cent_nsq AS DOUBLE)) DESC, cid) AS crank
+        | FROM asg0),
+        |idx AS (SELECT n.vec_id, asg.cid AS cell, n.qv, n.nsq
+        |        FROM n JOIN asg ON n.vec_id = asg.vec_id AND asg.crank = 1),
+        |qs AS (SELECT n.vec_id, asg.cid AS cell, n.qv, n.nsq
+        |       FROM n JOIN asg ON n.vec_id = asg.vec_id AND asg.crank <= 2
+        |       WHERE n.vec_id % 50 = 0),
+        |p0 AS (
+        | SELECT qs.vec_id AS query_id, idx.vec_id AS neighbor_id,
+        |  ${dotSql("qs.qv", "idx.qv")} AS dot, qs.nsq AS qn, idx.nsq AS cn
+        | FROM qs JOIN idx ON qs.cell = idx.cell AND qs.vec_id != idx.vec_id),
+        |p AS (SELECT query_id, neighbor_id,
+        |      CAST(dot AS DOUBLE)/sqrt(CAST(qn*cn AS DOUBLE)) AS cos FROM p0),
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM p)
         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank",
         | CAST(floor(cos * 1e6) AS BIGINT) AS cos_micro
@@ -171,7 +190,7 @@ object PipelineQueries {
         |  CAST(${langScoreSql("es")} AS BIGINT) AS score_es,
         |  CAST(${langScoreSql("fr")} AS BIGINT) AS score_fr,
         |  CAST(${langScoreSql("zh")} AS BIGINT) AS score_zh
-        | FROM (SELECT doc_id, $tokSql AS toks FROM documents))
+        | FROM (SELECT doc_id, text, $tokSql AS toks FROM documents))
         |SELECT doc_id, score_en, score_de, score_es, score_fr, score_zh,
         | CASE WHEN score_en >= greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'en'
         |      WHEN score_de >= greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'de'
