@@ -56,6 +56,22 @@ object CrawlJob {
       sketchCompactEvery: Int = 4,   // OR-merge sketch deltas when the
                                      // table reaches this many dirs
       commitFiles: Int = 8,          // file fan-in for small round tables
+      // Probe-strategy threshold, the exact analog of Spark's
+      // autoBroadcastJoinThreshold: when the WHOLE sketch state fits
+      // under this, collect+broadcast it (narrow probe, zero extra
+      // stages); above it, the distributed cogroup probe engages so
+      // no sketch bytes ever pass through the driver. At the 10^10
+      // design point (P=4096 × ~3 MB ≈ 12 GB) the distributed path is
+      // always chosen; 0 forces it for tests.
+      sketchBroadcastMaxBytes: Long = 8L << 20,
+      // Per-round shuffle partition override (0 = leave the session
+      // setting). A round's batch is BUDGET-BOUNDED (≤ saltCount ×
+      // tokensPerTick × ticksPerRound fetches plus the listing fan),
+      // so the scheduler can size its exchanges to the batch instead
+      // of paying a full session-width task wave per tiny stage —
+      // at the 10^10 design point the budget is large and this stays
+      // at the session width.
+      roundShufflePartitions: Int = 0,
       maxRounds: Int = 1000)
 
   /** Global lineage totals for one round (the per-partition rows live
@@ -146,7 +162,18 @@ object CrawlJob {
     */
   def runRound(spark: SparkSession, cfg: Config, log: SnapshotLog,
                snap: SnapshotLog.Snapshot, round: Int): RoundResult = {
+    if (cfg.roundShufflePartitions > 0) {
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      try runRoundInner(spark, cfg, log, snap, round)
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } else runRoundInner(spark, cfg, log, snap, round)
+  }
+
+  private def runRoundInner(spark: SparkSession, cfg: Config, log: SnapshotLog,
+                            snap: SnapshotLog.Snapshot, round: Int): RoundResult = {
     import spark.implicits._
+    if (cfg.roundShufflePartitions > 0)
+      spark.conf.set("spark.sql.shuffle.partitions", cfg.roundShufflePartitions)
     val params = bloomParams(cfg)
 
     val listing = log.readTable(spark, snap, ListingTable)
@@ -191,14 +218,24 @@ object CrawlJob {
     val batchFirst = SeenFilter.firstWinsAgg(kept, Seq("seen_key"), "arrival_seq")
 
     // ---- 4. bloom pre-filter + exact anti-join vs seen --------------
-    // The probe is fully distributed (cogroup on bloom_pid): no
-    // sketch bytes ever pass through the driver, each task holds one
-    // pid's sketch only.
+    // Size-adaptive probe (see Config.sketchBroadcastMaxBytes): small
+    // sketch state → collect P rows + broadcast (narrow, no extra
+    // stages); large → distributed cogroup on bloom_pid (no sketch
+    // bytes through the driver, each task holds one pid's sketch).
     val seenPrev = log.readTable(spark, snap, SeenTable)
     val sketchPrev = log.readTable(spark, snap, SketchTable)
+    val sketchDirs = snap.tables.getOrElse(SketchTable, Nil).size
+    val sketchStateBytes =
+      sketchDirs.toLong * cfg.bloomP * (cfg.bloomBits / 8)
     val probed = sketchPrev
-      .map(skDf => SeenFilter.probeBloomDistributed(batchFirst, "seen_key",
-        cfg.bloomP, params, skDf))
+      .map { skDf =>
+        if (sketchStateBytes <= cfg.sketchBroadcastMaxBytes)
+          SeenFilter.probeBloom(batchFirst, "seen_key", cfg.bloomP, params,
+            SeenFilter.collectSketches(SeenFilter.mergeSketches(skDf)))
+        else
+          SeenFilter.probeBloomDistributed(batchFirst, "seen_key",
+            cfg.bloomP, params, skDf)
+      }
       .getOrElse(batchFirst.withColumn("might_be_seen", lit(false)))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val definitelyNew = probed.where(!col("might_be_seen")).drop("might_be_seen")
@@ -321,9 +358,8 @@ object CrawlJob {
     // once `sketchCompactEvery` exist, OR-merge them executor-side
     // (one row per pid) and re-commit as a full rewrite, so reads stay
     // O(P) rows however long the crawl runs.
-    val sketchDirCount = snap.tables.getOrElse(SketchTable, Nil).size
     val compactSketch =
-      sketchPrev.isDefined && sketchDirCount + 1 >= cfg.sketchCompactEvery
+      sketchPrev.isDefined && sketchDirs + 1 >= cfg.sketchCompactEvery
     // Deltas known (from the counters) to be empty are omitted — no
     // wasted write jobs, no empty dirs in the manifest. Small round
     // tables coalesce to a few files (they are counter/frontier-sized;

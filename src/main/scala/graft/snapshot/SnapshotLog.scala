@@ -74,13 +74,30 @@ final class SnapshotLog(val root: String) {
       dir
     }
 
+    // The per-table writes are independent Spark jobs — submit them
+    // CONCURRENTLY (Spark's scheduler interleaves jobs from multiple
+    // driver threads), so a commit costs ~the largest table's write
+    // instead of the sum of all of them. Atomicity is unaffected: the
+    // manifest rename below happens only after every write returned.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val writes: Seq[(String, Boolean, Future[String])] =
+      (deltas.toSeq.map { case (n, df) => (n, false, df) } ++
+        replaced.toSeq.map { case (n, df) => (n, true, df) })
+        .map { case (n, repl, df) => (n, repl, Future(writeDir(n, df))) }
+    val written = writes.map { case (n, repl, f) =>
+      (n, repl, Await.result(f, Duration.Inf)) }
+
     val parentTables = parent.map(_.tables).getOrElse(Map.empty)
-    val afterDeltas = deltas.foldLeft(parentTables) { case (acc, (name, df)) =>
-      acc.updated(name, acc.getOrElse(name, Nil) :+ writeDir(name, df))
-    }
-    val afterReplace = replaced.foldLeft(afterDeltas) { case (acc, (name, df)) =>
-      acc.updated(name, Seq(writeDir(name, df)))
-    }
+    val afterDeltas = written.collect { case (n, false, dir) => n -> dir }
+      .foldLeft(parentTables) { case (acc, (name, dir)) =>
+        acc.updated(name, acc.getOrElse(name, Nil) :+ dir)
+      }
+    val afterReplace = written.collect { case (n, true, dir) => n -> dir }
+      .foldLeft(afterDeltas) { case (acc, (name, dir)) =>
+        acc.updated(name, Seq(dir))
+      }
 
     val snap = Snapshot(id, parent.map(_.id).getOrElse(-1L), afterReplace, props)
     val tmp = Files.createTempFile(rootPath, s".snapshot-$id", ".tmp")

@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression gates: the plan shapes the engine promises
+  * (SURVEY.md §4.2, VERDICT r1 follow-ups) asserted against the
+  * executed plan string, so a future edit that silently reintroduces
+  * a shuffle / drops a broadcast / breaks pushdown fails `sbt test`,
+  * not a bench round later. (graft.bench.ExplainCheck remains the
+  * human-readable audit over the same plans.)
+  */
+class PlanSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+
+  private def count(p: String, needle: String): Int =
+    p.split("\n").count(_.contains(needle))
+
+  test("priority_topk: one TakeOrderedAndProject, zero exchanges (O5)") {
+    val p = plan("priority_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(count(p, "Exchange") == 0,
+      s"distributed top-k must not pay a full exchange:\n$p")
+  }
+
+  test("extract_long_rows: shuffle-free higher-order fold (E-arr1/2)") {
+    val p = plan("extract_long_rows")
+    assert(count(p, "Exchange") == 0, s"the span fold must stay narrow:\n$p")
+  }
+
+  test("text_winnow_fingerprint: shuffle-free winnowing") {
+    val p = plan("text_winnow_fingerprint")
+    assert(count(p, "Exchange") == 0, p)
+  }
+
+  test("crawl_validate: narrow codegen'd predicate, filter pushdown-safe") {
+    val p = plan("crawl_validate")
+    assert(count(p, "Exchange") == 0, s"validation is metadata filtering:\n$p")
+    // whole-stage codegen renders as "*(n)" operator prefixes here
+    assert("\\*\\(\\d+\\)".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("q2_region_revenue: star join broadcasts all three dims, prunes the scan") {
+    val p = plan("q2_region_revenue")
+    assert(count(p, "BroadcastHashJoin") >= 3, p)
+    assert(p.contains("o_custkey") && !p.contains("o_comment"),
+      s"orders scan must prune to the joined/aggregated columns:\n$p")
+  }
+
+  test("q4_anti_join: anti join stays a hash join (no cartesian)") {
+    val p = plan("q4_anti_join")
+    assert(p.contains("LeftAnti"), p)
+    assert(count(p, "CartesianProduct") == 0, p)
+  }
+
+  test("ann_ivf_topk: centroid attach is a broadcast, never a cartesian") {
+    val p = plan("ann_ivf_topk")
+    assert(count(p, "BroadcastNestedLoopJoin") >= 1,
+      s"the 1-row centroid-array attach must broadcast:\n$p")
+    assert(count(p, "CartesianProduct") == 0, p)
+  }
+
+  test("dedup_exact: single aggregation exchange with partial aggregation") {
+    val p = plan("dedup_exact")
+    assert(count(p, "Exchange") == 1, s"exact dedup is one shuffle:\n$p")
+    assert(count(p, "HashAggregate") >= 2, s"map-side partial agg expected:\n$p")
+  }
+
+  test("parquet scans keep pushdown and pruning (the free Catalyst wins)") {
+    import org.apache.spark.sql.functions.col
+    val q = Tables.load(spark, d, "lineitem")
+      .where(col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30"), p)
+    assert("ReadSchema: [^\\n]*".r.findFirstIn(p).exists(s =>
+      s.contains("l_orderkey") && s.contains("l_quantity") && !s.contains("l_comment")), p)
+  }
+}
