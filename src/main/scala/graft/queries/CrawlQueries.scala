@@ -135,6 +135,12 @@ object CrawlQueries {
       graft.ops.MultimodalOps.decodeMeta(
         graft.ops.MultimodalOps.deriveMedia(Tables.load(s, d, "documents")))),
 
+    // Frame-sample + integer resize + per-frame feature over the
+    // opaque media payloads — same batched mapPartitions shape.
+    "mm_frame_sample" -> ((s, d) =>
+      graft.ops.MultimodalOps.sampleFrames(
+        graft.ops.MultimodalOps.deriveMedia(Tables.load(s, d, "documents")))),
+
     // End-to-end frontier replay (rows-only: the stateful round loop
     // is not one SQL statement; its semantics are golden-tested in
     // ScalaTest against the collections oracle). Runs the full crawl
@@ -486,6 +492,7 @@ object CrawlQueries {
         | AND (content_type = 'application/pdf' OR substr(magic, 1, 4) = '%PDF')""".stripMargin,
 
     "mm_media_meta" -> graft.ops.MultimodalOps.oracleSql,
+    "mm_frame_sample" -> graft.ops.MultimodalOps.frameOracleSql,
 
     "extract_long_rows" ->
       s"""WITH $spanCtes

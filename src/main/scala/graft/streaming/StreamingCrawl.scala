@@ -65,6 +65,11 @@ object StreamingCrawl {
         (key: (String, Int), rows: Iterator[StreamTask], state: GroupState[BucketState]) => {
           val (host, salt) = key
           var st = state.getOption.getOrElse(BucketState(0L, 0))
+          // The sort buffer holds ONE micro-batch's slice of one
+          // (host, salt) queue — bounded by the trigger interval, not
+          // by the frontier (the batch path's unbounded-group pitfall
+          // does not apply; its spillable sort lives in
+          // Scheduler.assignVirtualTicksCols). Group STATE stays O(1).
           val out = rows.toArray.sortBy(t => (t.priority, t.url)).map { t =>
             if (st.usedInTick >= tokensPerTick) st = BucketState(st.nextTick + 1, 0)
             val assigned = ScheduledFetch(t.url, host, salt, st.nextTick, st.nextTick * tickMs)

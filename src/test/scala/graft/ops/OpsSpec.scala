@@ -132,6 +132,32 @@ class OpsSpec extends SparkSpec {
     assert(again.toSeq == rows.map(_.toString).sorted.toSeq)
   }
 
+  test("multimodal frame sample: stride, resize bound, per-frame feature") {
+    val media = MultimodalOps.deriveMedia(docs.withColumn("doc_id", col("doc_id") * 2))
+    val meta = MultimodalOps.decodeMeta(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val frames = MultimodalOps.sampleFrames(media, everyK = 2, maxDim = 64).collect()
+    assert(frames.nonEmpty)
+    val byDoc = frames.groupBy(_.getLong(0))
+    byDoc.foreach { case (id, fs) =>
+      val (w, h, nf) = meta(id)
+      // stride: exactly the even frame indexes below n_frames
+      assert(fs.map(_.getLong(2)).sorted.toSeq == (0L until nf by 2).toSeq)
+      fs.foreach { f =>
+        // resize preserves the bound and integer aspect math
+        val (rw, rh) = (f.getLong(4), f.getLong(5))
+        assert(rw <= 64 && rh <= 64)
+        val longest = math.max(w, h)
+        if (longest <= 64) assert(rw == w && rh == h)
+        else assert(rw == w * 64 / longest && rh == h * 64 / longest)
+        // feature = nibble sum of the 4-hex-char frame
+        val hex = f.getString(3)
+        assert(hex.length == 4)
+        assert(f.getLong(6) == hex.map(java.lang.Character.digit(_, 16).toLong).sum)
+      }
+    }
+  }
+
   test("widen: first-positive-else-first + pivot + flag join (A4/A5/J3)") {
     val s = spark; import s.implicits._
     val longRows = Seq(
