@@ -32,7 +32,7 @@ object SnapshotLog {
                             props: Map[String, String])
 }
 
-final class SnapshotLog(val root: String) {
+final class SnapshotLog(val root: String) extends SnapshotTable {
   import SnapshotLog.Snapshot
 
   private val rootPath = Paths.get(root)

@@ -60,6 +60,26 @@ class ResumeSpec extends SparkSpec {
     assert(resumed.map(_.totals) == fullRounds.drop(2).map(_.totals))
   }
 
+  test("SnapshotTable seam: SQL views over a snapshot + time travel by id") {
+    val root = Files.createTempDirectory("crawl-views").toString
+    val log: graft.snapshot.SnapshotTable = new SnapshotLog(root)
+    import spark.implicits._
+    val s0 = log.commit(
+      deltas = Map("t" -> Seq(("a", 1)).toDF("k", "v")),
+      replaced = Map.empty, props = Map("round" -> "0", "done" -> "false"))
+    val s1 = log.commit(
+      deltas = Map("t" -> Seq(("b", 2)).toDF("k", "v")),
+      replaced = Map.empty, props = Map("round" -> "1", "done" -> "true"))
+    // latest view sees both deltas
+    val views = log.registerViews(spark, log.latest().get)
+    assert(views == Seq("snap_t"))
+    assert(spark.sql("SELECT count(*) FROM snap_t").head.getLong(0) == 2)
+    // time travel: the same table as of snapshot 0 has one row
+    log.registerViews(spark, log.read(s0.id), prefix = "asof0_")
+    assert(spark.sql("SELECT k FROM asof0_t").collect().map(_.getString(0)).toSeq == Seq("a"))
+    assert(s1.parent == s0.id)
+  }
+
   test("torn manifest write does not corrupt the log (atomic commit)") {
     val root = Files.createTempDirectory("crawl-torn").toString
     val log = new SnapshotLog(root)
