@@ -29,8 +29,21 @@ object SimilarityOps {
   def quantize(vec: Column): Column =
     transform(vec, e => round(e.cast("double") * 1000).cast("long"))
 
-  /** Exact int64 dot product of two equal-length long arrays. */
-  def dotQ(a: Column, b: Column): Column =
+  /** Exact int64 dot product of two equal-length long arrays — a
+    * native codegen'd expression ([[graft.functions.DotProductQ]]);
+    * the built-in `aggregate(zip_with(...))` twin remains as
+    * [[dotQBuiltins]] (property-tested equal).
+    */
+  def dotQ(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.DotProductQ(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** Pure-built-ins dot product (interpreted higher-order tree) —
+    * kept as the reference semantics for [[dotQ]]'s tests.
+    */
+  def dotQBuiltins(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   def normSqQ(a: Column): Column = dotQ(a, a)

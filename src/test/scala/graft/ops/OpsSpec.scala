@@ -105,6 +105,30 @@ class OpsSpec extends SparkSpec {
     assert(ivf.forall(_.getLong(1) != 3L), "IVF restricts to the query's bucket")
   }
 
+  test("DotProductQ: codegen'd expression == built-in higher-order twin") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 200).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextLong() % 1000), Array.fill(64)(rnd.nextLong() % 1000))
+    } :+ ((201L, Array.empty[Long], Array.fill(3)(5L))) // length mismatch → min-length dot = 0
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select(col("id"),
+        SimilarityOps.dotQ(col("a"), col("b")).as("fast"),
+        SimilarityOps.dotQBuiltins(col("a"), col("b")).as("slow"))
+      .collect()
+    got.foreach { r =>
+      val fast = r.getLong(1)
+      // the built-in twin zip_with-pads with null on length mismatch →
+      // null result; the expression defines min-length semantics
+      if (!r.isNullAt(2)) assert(fast == r.getLong(2), s"id ${r.getLong(0)}")
+      else assert(fast == 0L)
+    }
+    // null array input → null out
+    val n = Seq((1L, null: Array[Long], Array(1L, 2L))).toDF("id", "a", "b")
+      .select(SimilarityOps.dotQ(col("a"), col("b"))).collect()
+    assert(n.head.isNullAt(0))
+  }
+
   test("embedding near-dup pairs: exact rational threshold") {
     val s = spark; import s.implicits._
     val vecs = Seq(
