@@ -21,7 +21,8 @@ object ExplainCheck {
     }
     Seq("q2_region_revenue", "q4_anti_join", "q1_pricing_summary", "crawl_wide_report",
       "dedup_ngram_jaccard", "ann_ivf_topk", "extract_long_rows", "crawl_dense_rescale",
-      "text_quality").foreach(show)
+      "text_quality", "crawl_validate", "crawl_politeness_salted", "priority_topk",
+      "mm_frame_sample", "dedup_embed_cosine").foreach(show)
     // detailed: does q1 push filter + prune columns?
     val q1 = graft.Tables.load(s, d, "lineitem").where(org.apache.spark.sql.functions.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
     println(q1.queryExecution.executedPlan.toString.split("\n").filter(l => l.contains("PushedFilters") || l.contains("ReadSchema")).mkString("\n"))

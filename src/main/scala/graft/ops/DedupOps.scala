@@ -66,23 +66,30 @@ object DedupOps {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, num: Int, den: Int, maxDf: Long = 0L): DataFrame = {
+    // ONE shingle lineage: the df-cap and the per-doc set size ride
+    // along as WINDOW columns instead of separate groupBy branches.
+    // Separate branches re-derive the shingle set per consumer (no
+    // common-subplan materialization in Catalyst) and re-join sizes
+    // back onto the pairs — measured 22 exchanges in the plan; this
+    // shape plans ~6, and the two self-join sides are identical
+    // subplans so the shingle exchange is reused, not recomputed.
+    import org.apache.spark.sql.expressions.Window
     val sh0 = shingles(docs, idCol, textCol, n)
-    val sh =
+    val capped =
       if (maxDf <= 0) sh0
-      else {
-        val keep = sh0.groupBy("shingle").agg(count(lit(1)).as("__df"))
-          .where(col("__df") <= maxDf).select("shingle")
-        sh0.join(keep, "shingle")
-      }
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
-    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
-    val shared = a.join(b, "shingle")
+      else sh0
+        .withColumn("__df", count(lit(1)).over(Window.partitionBy("shingle")))
+        .where(col("__df") <= maxDf)
+        .drop("__df")
+    val sh = capped
+      .withColumn("__sz", count(lit(1)).over(Window.partitionBy(idCol)))
+    val a = sh.select(col(idCol).as("id_a"), col("shingle"), col("__sz").as("size_a"))
+    val b = sh.select(col(idCol).as("id_b"), col("shingle"), col("__sz").as("size_b"))
+    a.join(b, "shingle")
       .where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("size_a")), "id_a")
-      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("size_b")), "id_b")
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"),
+        first("size_a").as("size_a"), first("size_b").as("size_b"))
       .where(col("shared") * den >= (col("size_a") + col("size_b") - col("shared")) * num)
       .select("id_a", "id_b", "shared", "size_a", "size_b")
   }
