@@ -110,8 +110,17 @@ object DedupOps {
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, bands: Int, rows: Int): DataFrame = {
     val sh = shinglesRaw(docs, idCol, textCol, n) // min() ignores dups: no distinct exchange
-    val minCols = (0 until bands * rows).map(h =>
-      min(md5(concat(lit(s"$h:"), col("shingle")))).as(s"mh$h"))
+    // Hash family: 8-hex-char (32-bit) slices of md5(group ':' shingle),
+    // 4 slices per digest — only ceil(bands*rows/4) md5 evaluations per
+    // shingle row instead of one per hash function (the md5 calls
+    // dominate signature cost; codegen subexpression elimination
+    // shares each digest across its 4 min() aggregates). 32-bit
+    // minhash values collide at ~1/2^32 — immaterial against the
+    // per-doc shingle counts this blocks on.
+    val minCols = (0 until bands * rows).map { h =>
+      val digest = md5(concat(lit(s"${h / 4}:"), col("shingle")))
+      min(substring(digest, (h % 4) * 8 + 1, 8)).as(s"mh$h")
+    }
     val sigs = sh.groupBy(col(idCol)).agg(minCols.head, minCols.tail: _*)
     val bandStructs = (0 until bands).map { b =>
       val entries = (b * rows until (b + 1) * rows).map(h =>

@@ -113,7 +113,8 @@ object PipelineQueries {
         |       FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents)
         |       WHERE len(t) >= 3)),
         |hashed AS (
-        | SELECT doc_id, h, md5(concat(CAST(h AS VARCHAR), ':', shingle)) AS hv
+        | SELECT doc_id, h,
+        |  substr(md5(concat(CAST(h // 4 AS VARCHAR), ':', shingle)), (h % 4) * 8 + 1, 8) AS hv
         | FROM (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS h FROM sh)),
         |mh AS (SELECT doc_id, h, min(hv) AS mh FROM hashed GROUP BY doc_id, h),
         |sigs AS (
