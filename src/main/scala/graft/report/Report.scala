@@ -37,11 +37,15 @@ object Report {
       .where(f1(col("title")))
       .where(!col("title").contains("摘要") && !col("title").contains("英文版"))
       .withColumn("sec_code", Canon.classifyExchange(Canon.padCode(col("sec_code_raw"))))
-    // A2: keep first arrival per (code, company, title)
-    val w2 = Window.partitionBy("sec_code", "company", "title").orderBy("arrival_seq")
-    val deduped = filtered
-      .withColumn("__rn", row_number().over(w2)).where(col("__rn") === 1).drop("__rn")
+    // A2: keep first arrival per (code, company, title) — hash agg
+    // with MAP-SIDE COMBINE (min_by over the unique arrival ordinal
+    // ≡ the row_number window, which would shuffle AND sort every
+    // raw row; dup-heavy inputs collapse before the exchange)
+    val deduped = graft.seen.SeenFilter.firstWinsAgg(
+      filtered, Seq("sec_code", "company", "title"), "arrival_seq")
     // A3: latest report per code (date desc nulls last, arrival asc)
+    // stays a window: a "desc_nulls_last date then asc seq" priority
+    // has no single min_by key without null-sentinel encoding
     val w3 = Window.partitionBy("sec_code")
       .orderBy(col("report_date").desc_nulls_last, col("arrival_seq").asc)
     deduped
