@@ -15,11 +15,13 @@ object ReplayLoopProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
+      .config("spark.sql.codegen.wholeStage",
+        sys.env.getOrElse("SPARK_GRAFT_PROBE_CODEGEN", "true"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     val cfg = graft.crawl.CrawlJob.Config(
       saltCount = 4, tokensPerTick = 16, ticksPerRound = 8, bloomP = 8,
-      roundShufflePartitions = 8)
+      roundShufflePartitions = 8, roundWholeStageCodegen = false)
     val seeds = graft.crawl.CrawlJob.expandSeeds(19830, 19831)
     val root = java.nio.file.Files.createTempDirectory("replay-loop-probe").toString
     val log = new graft.snapshot.SnapshotLog(root)

@@ -72,6 +72,12 @@ object CrawlJob {
       // at the 10^10 design point the budget is large and this stays
       // at the session width.
       roundShufflePartitions: Int = 0,
+      // Whole-stage codegen per round: compiling ~20 generated stages
+      // per round is worth it when a round schedules millions of URLs
+      // (the design point — leave true) and is pure driver latency
+      // when the budget bounds a round to hundreds (measured 35% of
+      // small-replay wall time); small-batch configs set false.
+      roundWholeStageCodegen: Boolean = true,
       maxRounds: Int = 1000)
 
   /** Global lineage totals for one round (the per-partition rows live
@@ -162,10 +168,14 @@ object CrawlJob {
     */
   def runRound(spark: SparkSession, cfg: Config, log: SnapshotLog,
                snap: SnapshotLog.Snapshot, round: Int): RoundResult = {
-    if (cfg.roundShufflePartitions > 0) {
+    if (cfg.roundShufflePartitions > 0 || !cfg.roundWholeStageCodegen) {
       val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      val prevCodegen = spark.conf.get("spark.sql.codegen.wholeStage")
       try runRoundInner(spark, cfg, log, snap, round)
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        spark.conf.set("spark.sql.codegen.wholeStage", prevCodegen)
+      }
     } else runRoundInner(spark, cfg, log, snap, round)
   }
 
@@ -174,6 +184,8 @@ object CrawlJob {
     import spark.implicits._
     if (cfg.roundShufflePartitions > 0)
       spark.conf.set("spark.sql.shuffle.partitions", cfg.roundShufflePartitions)
+    if (!cfg.roundWholeStageCodegen)
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
     val params = bloomParams(cfg)
 
     val listing = log.readTable(spark, snap, ListingTable)
@@ -319,12 +331,18 @@ object CrawlJob {
     // ONE action materializes every persisted stage and yields every
     // scalar the round needs (totals, stop flags, reconciliation) —
     // the per-counter count() jobs this replaces were the dominant
-    // round overhead (~8 extra job submissions per round).
+    // round overhead (~8 extra job submissions per round). Each
+    // branch counts inside its own partitions (mapPartitions), so the
+    // whole metrics job is NARROW: zero exchanges, one barrier; the
+    // per-counter totals sum driver-side over ≤ counters×partitions
+    // rows.
     def partCounts(df: DataFrame, counter: String): DataFrame =
-      df.groupBy(spark_partition_id().as("partition_id"))
-        .agg(count(lit(1)).as("n"))
-        .select(lit(round).as("round"), lit(counter).as("counter"),
-          col("partition_id"), col("n"))
+      df.mapPartitions { it =>
+        var n = 0L
+        while (it.hasNext) { it.next(); n += 1 }
+        if (n == 0) Iterator.empty
+        else Iterator((round, counter, org.apache.spark.TaskContext.getPartitionId(), n))
+      }.toDF("round", "counter", "partition_id", "n")
     val nextListingDf = nextListing.toDF().persist(StorageLevel.MEMORY_AND_DISK)
     val metricsDelta =
       partCounts(candidates, "urls_seen")
@@ -336,9 +354,9 @@ object CrawlJob {
         .unionByName(partCounts(denied, "robots_denied"))
         .unionByName(partCounts(nextListingDf, "listing_pending"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-    val totalsByCounter = metricsDelta
-      .groupBy("counter").agg(sum("n").as("n")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totalsByCounter = metricsDelta.collect()
+      .groupBy(_.getString(1))
+      .view.mapValues(_.map(_.getLong(3)).sum).toMap
       .withDefaultValue(0L)
     val urlsSeenCnt = totalsByCounter("urls_seen")
     val filtered = totalsByCounter("filtered")
