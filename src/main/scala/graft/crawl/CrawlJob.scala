@@ -102,25 +102,43 @@ object CrawlJob {
     seeds.map(s => ListingTask(s.exchangeRank, s.exchange, s.epochDay, s.category, 1, 0))
 
   /** O4 frontier-growth guards (cninfo_report_crawler.py:249-328).
-    * The stream's claimed `totalpages` is NOT trusted as a hard stop:
-    * the reference keeps paging up to totalpages+3 (the API lies
-    * about totals — that overshoot is why late rows aren't dropped),
-    * stopping earlier past the end only after 2 consecutive empty
-    * pages. Everywhere, `emptyRunLimit` consecutive empties stop the
-    * stream; totalpages=0 serves page 1 only; the hard cap (500)
-    * backstops it all. Pure — shared by the distributed job and the
-    * test oracle.
+    * Two distinct empty-page signals, exactly as the reference:
+    *  - `rawRows == 0` (the API served an empty announcements list)
+    *    stops the stream IMMEDIATELY, anywhere — reference :283-289
+    *    breaks on `if not announcements` before any tolerance counts.
+    *  - `newKept == 0` with rawRows > 0 (every row on the page was
+    *    dropped by dedup/filters) increments the consecutive-empty
+    *    counter: `emptyRunLimit` (3) such pages stop the stream
+    *    regardless of position (reference empty_pages_count /
+    *    max_empty_pages, :317-328).
+    * The claimed `totalpages` is NOT a hard stop: the reference pages
+    * up to totalpages+3 (the API lies about totals — that overshoot is
+    * why late rows aren't dropped), stopping earlier past the end only
+    * after 2 consecutive all-dropped pages; totalpages=0 serves page 1
+    * only; the hard cap (500) backstops it all. Pure — shared by the
+    * distributed job and the test oracle.
+    *
+    * Documented approximation: the reference counts a page "empty"
+    * when it yields zero NEW announcements (its seen set is built
+    * before any title filter); here `newKept` is the count of rows
+    * that are both new AND pass F1/F2 (this pipeline filters before
+    * the seen set so re-served filtered titles never shuffle). A page
+    * of all-new but all-filtered titles therefore counts as empty here
+    * and non-empty in the reference — a strictly earlier stop.
     */
-  def nextListingTask(t: ListingTask, rowsServed: Int, totalPages: Int,
+  def nextListingTask(t: ListingTask, rawRows: Int, newKept: Long, totalPages: Int,
                       cfg: Config): Option[ListingTask] = {
-    val emptyRun = if (rowsServed == 0) t.emptyRun + 1 else 0
-    val next = t.page + 1
-    val withinHard = totalPages > 0 && next <= totalPages + cfg.overshootPages
-    val softStop = next > totalPages && emptyRun >= cfg.overshootEmptyLimit
-    val runStop = emptyRun >= cfg.emptyRunLimit
-    if (withinHard && !softStop && !runStop && next <= cfg.maxPagesCap)
-      Some(t.copy(page = next, emptyRun = emptyRun))
-    else None
+    if (rawRows == 0) None // reference: break on an empty announcements list
+    else {
+      val emptyRun = if (newKept == 0) t.emptyRun + 1 else 0
+      val next = t.page + 1
+      val withinHard = totalPages > 0 && next <= totalPages + cfg.overshootPages
+      val softStop = next > totalPages && emptyRun >= cfg.overshootEmptyLimit
+      val runStop = emptyRun >= cfg.emptyRunLimit
+      if (withinHard && !softStop && !runStop && next <= cfg.maxPagesCap)
+        Some(t.copy(page = next, emptyRun = emptyRun))
+      else None
+    }
   }
 
   /** Inclusive seed expansion: exchange × day × category (E-date3 +
@@ -195,21 +213,19 @@ object CrawlJob {
 
     // ---- 1. listing expansion (synthetic S1 scan) -------------------
     // The whole per-(exchange,date,category) stream state is one row;
-    // page growth is computed executor-side from the pure generator.
+    // rows are generated executor-side from the pure generator. Page
+    // GROWTH is decided later (step 4b): the reference's empty-page
+    // tolerance counts pages whose rows were all dedup-dropped, so the
+    // listing frontier needs this round's per-stream new-unique counts
+    // fed back before it can advance.
     val anns = listing.flatMap { t =>
       Fixtures.announcementsFor(t).map { a =>
-        (t.exchangeRank, t.epochDay, a.secCode, a.secName, a.title,
+        (t.exchangeRank, t.epochDay, t.category, a.secCode, a.secName, a.title,
           a.timeMs, a.timeStr, a.adjunctUrl, a.arrivalSeq, t.page)
       }
-    }.toDF("exchange_rank", "epoch_day", "sec_code_raw", "company", "title",
-        "time_ms", "time_str", "adjunct_url", "arrival_seq", "page_depth")
+    }.toDF("exchange_rank", "epoch_day", "category", "sec_code_raw", "company",
+        "title", "time_ms", "time_str", "adjunct_url", "arrival_seq", "page_depth")
       .persist(StorageLevel.MEMORY_AND_DISK)
-
-    val nextListing = listing.flatMap { t =>
-      nextListingTask(t,
-        Fixtures.rowsOnPage(t.exchangeRank, t.epochDay, t.category, t.page),
-        Fixtures.totalPages(t.exchangeRank, t.epochDay, t.category), cfg)
-    }
 
     // ---- 2. filters F1/F2 + canonicalization ------------------------
     val yearsRe = cfg.targetYears.mkString("|")
@@ -259,25 +275,48 @@ object CrawlJob {
     val newUniqueDf = definitelyNew.unionByName(confirmedNew)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // ---- 4b. listing frontier growth with the dedup feedback --------
+    // nextListingTask needs this round's per-stream NEW-UNIQUE count
+    // (the reference's empty_pages_count input). Both sides of the
+    // join are O(active streams) — frontier-task-sized, thousands of
+    // rows at the 10^10-URL design point, never O(announcements).
+    val keptCounts = newUniqueDf.groupBy(
+        col("exchange_rank").as("exchangeRank"),
+        col("epoch_day").as("epochDay"), col("category"))
+      .agg(count(lit(1)).as("newKept"))
+    val nextListing = listing.toDF()
+      .join(keptCounts, Seq("exchangeRank", "epochDay", "category"), "left_outer")
+      .select(struct(col("exchangeRank"), col("exchange"), col("epochDay"),
+          col("category"), col("page"), col("emptyRun")).as("_1"),
+        coalesce(col("newKept"), lit(0L)).as("_2"))
+      .as[(ListingTask, Long)]
+      .flatMap { case (t, kept) =>
+        nextListingTask(t,
+          Fixtures.rowsOnPage(t.exchangeRank, t.epochDay, t.category, t.page),
+          kept, Fixtures.totalPages(t.exchangeRank, t.epochDay, t.category), cfg)
+      }
+
     // ---- 5. build this round's sketch delta over new keys ----------
     val sketchDelta = SeenFilter.buildPartitionedBloom(
       newUniqueDf.select("seen_key"), "seen_key", cfg.bloomP, params)
 
-    // ---- 6. results delta (validated stage-1 rows) ------------------
-    val resultsDelta = newUniqueDf.select(
-      col("arrival_seq"), col("sec_code_raw"), col("company"), col("title"),
-      graft.canon.Canon.announceDate(
-        when(col("time_ms") >= 0, col("time_ms")), col("time_str")).as("report_date"),
-      col("url").as("pdf_url"))
-
-    // ---- 7. doc frontier: new tasks ∪ deferred, robots gate ---------
+    // ---- 6. doc frontier: new tasks ∪ deferred, robots gate ---------
+    // The stage-1 result payload rides on the task (see DocTask): a
+    // results row is emitted only when its fetch VALIDATES (step 8),
+    // matching the reference's total_valid semantics
+    // (cninfo_report_crawler.py:479-493) — discovery alone puts
+    // nothing in the results table.
     val newTasks = newUniqueDf.select(
       col("url"),
       lit(Fixtures.Host).as("host"),
       col("epoch_day").as("announceEpochDay"),
       col("sec_code_raw").as("secCode"),
       col("page_depth").as("pageDepth"),
-      col("seen_key").as("seenKey"))
+      col("seen_key").as("seenKey"),
+      col("arrival_seq").as("arrivalSeq"),
+      col("company"), col("title"),
+      col("time_ms").as("timeMs"),
+      col("time_str").as("timeStr"))
       .as[DocTask]
     val allTasks = newTasks.unionByName(deferredPrev).toDF()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -288,7 +327,7 @@ object CrawlJob {
     val denied = gated.where(col("robots_denied"))
     val allowed = gated.where(!col("robots_denied")).drop("robots_denied")
 
-    // ---- 8. politeness scheduling under the round budget ------------
+    // ---- 7. politeness scheduling under the round budget ------------
     // north-star priority: (announce date, stock code, page depth).
     // The FULL task row rides through the scheduler (column-generic
     // pass-through), so the deferred set is a plain projection — no
@@ -302,32 +341,48 @@ object CrawlJob {
     val assigned = Scheduler
       .assignVirtualTicksCols(schedIn, cfg.saltCount, cfg.tokensPerTick, cfg.tickMs)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val docTaskCols = Seq("url", "host", "announceEpochDay", "secCode",
+      "pageDepth", "seenKey", "arrivalSeq", "company", "title", "timeMs", "timeStr")
     val toFetch = assigned.where(col("tick_index") < cfg.ticksPerRound)
     val deferredNow = assigned.where(col("tick_index") >= cfg.ticksPerRound)
-      .select("url", "host", "announceEpochDay", "secCode", "pageDepth", "seenKey")
+      .select(docTaskCols.map(col): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // ---- 9. validate (S2/S3/F4) then fetch (S4) ---------------------
+    // ---- 8. validate (S2/S3/F4) then fetch (S4) ---------------------
     // HEAD-probe metadata first (status / content-type / magic bytes
     // as plain columns), payload fetch only for survivors — the
     // reference's total_valid semantics: HEAD 200 + application/pdf,
     // with the %PDF byte-sniff rescuing mislabeled content types.
-    val probedFetch = toFetch.select("url").as[String].map { url =>
-      (url, Fixtures.fetchStatus(url), Fixtures.fetchContentType(url),
-        Fixtures.fetchMagic(url))
-    }.toDF("url", "status", "content_type", "magic")
+    // The full task row rides through the probe so the validated
+    // survivors directly yield BOTH the docs delta and the stage-1
+    // results delta (reference: all_valid_reports is appended only for
+    // validate_pdf_access survivors, cninfo_report_crawler.py:479-493).
+    val probedFetch = toFetch.select(docTaskCols.map(col): _*).as[DocTask]
+      .map { t =>
+        (t, Fixtures.fetchStatus(t.url), Fixtures.fetchContentType(t.url),
+          Fixtures.fetchMagic(t.url))
+      }.toDF("task", "status", "content_type", "magic")
+      .select(col("task.*"), col("status"), col("content_type"), col("magic"))
       .withColumn("__valid",
         Validate.isValid(col("status"), col("content_type"), col("magic")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val invalidFetch = probedFetch.where(!col("__valid"))
-    val fetchedDocs = probedFetch.where(col("__valid")).select("url").as[String]
+    val validFetch = probedFetch.where(col("__valid"))
+    val resultsDelta = validFetch.select(
+      col("arrivalSeq").as("arrival_seq"),
+      col("secCode").as("sec_code_raw"),
+      col("company"), col("title"),
+      graft.canon.Canon.announceDate(
+        when(col("timeMs") >= 0, col("timeMs")), col("timeStr")).as("report_date"),
+      col("url").as("pdf_url"))
+    val fetchedDocs = validFetch.select("url").as[String]
       .map { url =>
         val d = Fixtures.docFor(url)
         (d.doc_id, d.spans, round)
       }.toDF("doc_id", "spans", "fetch_round")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // ---- 10. per-partition lineage metrics --------------------------
+    // ---- 9. per-partition lineage metrics ----------------------------
     // ONE action materializes every persisted stage and yields every
     // scalar the round needs (totals, stop flags, reconciliation) —
     // the per-counter count() jobs this replaces were the dominant
@@ -368,7 +423,7 @@ object CrawlJob {
     val listingPending = totalsByCounter("listing_pending")
     val dupDropped = urlsSeenCnt - filtered - newUnique
 
-    // ---- 11. atomic snapshot commit ---------------------------------
+    // ---- 10. atomic snapshot commit ---------------------------------
     val done = listingPending == 0 && deferredCnt == 0
     val totals = Totals(urlsSeenCnt, filtered, dupDropped, newUnique,
       deniedCnt, fetchedCnt, invalidCnt, deferredCnt)
@@ -386,7 +441,7 @@ object CrawlJob {
     val deltas = Seq(
       (newUnique > 0, SeenTable,
         small(newUniqueDf.select("seen_key", "url", "arrival_seq"))),
-      (newUnique > 0, ResultsTable, small(resultsDelta)),
+      (fetchedCnt > 0, ResultsTable, small(resultsDelta)),
       (fetchedCnt > 0, DocsTable, fetchedDocs),
       (true, MetricsTable, small(metricsDelta)),
       (!compactSketch && newUnique > 0, SketchTable, sketchDelta))

@@ -44,6 +44,17 @@ object Extract {
   /** E-str6: ordered regex ladder, first match wins:
     * grouped-decimal-2dp → grouped-decimal → grouped-int →
     * plain-decimal → plain-int. Null when nothing matches.
+    *
+    * DOCUMENTED divergence from the reference
+    * (report_info_collection.py:100-107): its first pattern
+    * `((?:\d{1,3},)*\d{1,3}\.\d{2})` is unanchored with a `*` on the
+    * comma groups, so on a plain ≥4-digit decimal like "1234.56"
+    * re.search matches the SUBSTRING "234.56" — a truncated amount.
+    * This ladder requires at least one comma group before taking the
+    * grouped branch, so it returns the full "1234.56" (same class of
+    * deliberate reference-bug fix as F1's NameError and E-date4;
+    * pinned in CanonExtractSpec, exercised by the fixtures' plain
+    * ≥4-digit decimal amount style).
     */
   private val LadderPatterns = Seq(
     "\\d{1,3}(,\\d{3})+\\.\\d{2}",
@@ -74,8 +85,17 @@ object Extract {
   /** The interleaved-docs extraction: docs(doc_id, spans) → long rows
     * (doc_id, item, amount_str, method, offset).
     *
-    * Reference acceptance rules, reproduced exactly
-    * (report_info_collection.py:122-139, 177-190):
+    * Reference acceptance rules (report_info_collection.py:122-139,
+    * 177-190), with two DOCUMENTED edge divergences:
+    *  - cell-scan start: the reference re.search-scans cells starting
+    *    AT the keyword cell, so digits occurring BEFORE the keyword
+    *    inside that same cell (e.g. "2023年其中：数据资源") would
+    *    supply the amount — a reference bug class (the title year
+    *    becomes the amount); this engine scans only the text after the
+    *    keyword (pinned in CanonExtractSpec).
+    *  - multi-occurrence rows: the reference splits at the FIRST
+    *    keyword occurrence; this engine at the LAST (rows with two
+    *    occurrences of the full keyword do not occur in the corpus).
     *  - A keyword span emits only when a POSITIVE number follows the
     *    keyword: cells (the '|'-separated segments after the keyword)
     *    are scanned left→right and the first cell whose first number
@@ -88,6 +108,11 @@ object Extract {
     *    ("break" — a non-category text span, including a previous
     *    keyword row, RESETS the parent state; markers do not carry
     *    across intervening paragraphs).
+    *  - A `kind='break'` span is a TABLE/PAGE BOUNDARY and resets the
+    *    parent state: the reference confines its upward scan to the
+    *    current table (`parent_row_idx >= 0` within `table`,
+    *    report_info_collection.py:124-139), so a category header can
+    *    never be inherited across a table break.
     */
   def extractLongRows(docs: DataFrame): DataFrame = {
     // Single NARROW pass: the per-document "nearest prior non-empty
@@ -103,6 +128,7 @@ object Extract {
         array().cast(outType).as("out")),
       (acc, s) => {
         val n = normalizeText(s.getField("text"))
+        val isBreak = s.getField("kind") === "break"
         val nonEmpty = s.getField("kind") === "text" && n.isNotNull && (n =!= "")
         val hasK = nonEmpty && n.contains(TargetKeyword)
         // marker for ANY non-empty text span: the first named category
@@ -123,7 +149,10 @@ object Extract {
             acc.getField("cat").as("item"), amount.as("amount_str"),
             s.getField("offset").as("offset")))))
           .otherwise(acc.getField("out"))
-        struct(when(nonEmpty, marker).otherwise(acc.getField("cat")).as("cat"),
+        struct(
+          when(isBreak, lit(null).cast("string")) // table boundary: reset
+            .when(nonEmpty, marker)
+            .otherwise(acc.getField("cat")).as("cat"),
           newOut.as("out"))
       },
       acc => acc.getField("out"))

@@ -200,8 +200,13 @@ object Fixtures {
 
   /** The interleaved text+media document behind a URL: spans in
     * document order, mixing category-header text spans, target-keyword
-    * rows (amounts in the reference's messy formats), media spans, and
-    * noise. Deterministic in the URL alone.
+    * rows (amounts in the reference's messy formats), media spans,
+    * TABLE-BOUNDARY break spans (the reference's parent-category scan
+    * is confined to the current table, report_info_collection.py:
+    * 124-139 — a break must reset the inherited category), and noise.
+    * Keyword rows are deliberately generated even right after a break
+    * (currentCat is NOT reset) so the extractor's boundary reset is
+    * load-bearing, not vacuous. Deterministic in the URL alone.
     */
   def docFor(url: String): Doc = {
     val nSpans = 4 + draw(10, "ns", url)
@@ -212,17 +217,24 @@ object Fixtures {
         currentCat = draw(3, "ch", url, i)
         Span("text", s"第${i}节 ${CatNames(currentCat)}明细", null, i)
       } else if (kind < 5 && currentCat >= 0) { // keyword row with amount
-        val style = draw(4, "as", url, i)
+        val style = draw(5, "as", url, i)
         val base = 100 + draw(999900, "av", url, i)
         val amt = style match {
           case 0 => groupedInt(base / 100) + "." + pad(base % 100, 2) // grouped 2dp
           case 1 => (base / 100).toString                             // plain int
           case 2 => "N/A"                                             // sentinel
-          case _ => groupedInt(base / 100)                            // grouped int
+          case 3 => groupedInt(base / 100)                            // grouped int
+          // plain ≥4-digit decimal — the E-str6 divergence fixture:
+          // the reference's unanchored first pattern would extract the
+          // "234.56" SUBSTRING of "1234.56"; this engine extracts the
+          // full number (documented reference bug, SURVEY.md §2.8)
+          case _ => (base / 100 + 10000).toString + "." + pad(base % 100, 2)
         }
         Span("text", s"其中：数据资源 | $amt | 元", null, i)
       } else if (kind < 7) { // media span
         Span("media", null, s"media://img/${java.lang.Long.toHexString(hashKey("mr", url, i))}", i)
+      } else if (kind == 7) { // table/page boundary
+        Span("break", null, null, i)
       } else { // noise text
         Span("text", s"补充说明第${draw(100, "nz", url, i)}条", null, i)
       }

@@ -34,9 +34,19 @@ final case class Announcement(secCode: String, secName: String, title: String,
 
 /** A pending document fetch. Priority per the north rule:
   * (announce date, stock code, page depth).
+  *
+  * The stage-1 RESULT payload (arrivalSeq, company, title, the
+  * timeMs/timeStr announcement-time union) rides the frontier task:
+  * the reference appends a results row only when `validate_pdf_access`
+  * succeeds (cninfo_report_crawler.py:479-493), so the results delta
+  * is emitted at the validated-fetch stage — carrying the payload on
+  * the task is what makes that a pure projection there instead of an
+  * O(frontier) join back to discovery-time announcement rows.
   */
 final case class DocTask(url: String, host: String, announceEpochDay: Int,
-                         secCode: String, pageDepth: Int, seenKey: String)
+                         secCode: String, pageDepth: Int, seenKey: String,
+                         arrivalSeq: Long, company: String, title: String,
+                         timeMs: Long, timeStr: String)
 
 /** One interleaved-document span — exactly the BASELINE input_hint
   * element shape (kind, text, media_ref, offset).

@@ -226,8 +226,10 @@ object CrawlQueries {
 
   /** Deterministic interleaved-docs derivation from the `documents`
     * table: 6 spans per doc mixing category headers, keyword rows
-    * (amounts in every messy reference format), media refs, and
-    * noise — engine-portable (md5/ascii/modulo only).
+    * (amounts in every messy reference format, including the plain
+    * ≥4-digit decimal that pins the E-str6 ladder divergence), media
+    * refs, table-boundary `break` spans (which must reset the parent
+    * category), and noise — engine-portable (md5/ascii/modulo only).
     */
   def deriveSpanDocs(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "documents").select(col("doc_id"),
@@ -235,7 +237,7 @@ object CrawlQueries {
         val m = md5(concat(col("doc_id").cast("string"), lit(":"), i.cast("string")))
         val b = ascii(substring(m, 1, 1)) % 10
         val c = ascii(substring(m, 2, 1)) % 3
-        val st = ascii(substring(m, 3, 1)) % 4
+        val st = ascii(substring(m, 3, 1)) % 5
         val v1 = ascii(substring(m, 4, 1)) * 7 % 900 + 100
         val v2 = ascii(substring(m, 5, 1)) * 13 % 1000
         val catName = when(c === 0, "存货").when(c === 1, "无形资产").otherwise("开发支出")
@@ -243,12 +245,16 @@ object CrawlQueries {
         val amt = when(st === 0, concat(grouped, lit(".25")))
           .when(st === 1, v1.cast("string"))
           .when(st === 2, lit("N/A"))
-          .otherwise(grouped)
+          .when(st === 3, grouped)
+          .otherwise(concat((v1 + 10000).cast("string"), lit("."),
+            lpad((v2 % 100).cast("string"), 2, "0")))
         val text = when(b < 2, concat(lit("第"), i.cast("string"), lit("节 "), catName, lit("明细")))
           .when(b < 5, concat(lit("其中：数据资源 | "), amt, lit(" | 元")))
-          .when(b < 7, lit(null).cast("string"))
+          .when(b < 8, lit(null).cast("string"))
           .otherwise(concat(lit("补充说明"), v1.cast("string")))
-        val kind = when(b < 5 || b >= 7, lit("text")).otherwise(lit("media"))
+        val kind = when(b < 5 || b >= 8, lit("text"))
+          .when(b === 7, lit("break"))
+          .otherwise(lit("media"))
         val mref = when(b >= 5 && b < 7, concat(lit("media://"), m))
           .otherwise(lit(null).cast("string"))
         struct(kind.as("kind"), text.as("text"), mref.as("media_ref"),
@@ -304,20 +310,22 @@ object CrawlQueries {
       | FROM documents, (SELECT unnest(generate_series(0,5)) AS i)),
       |f AS (
       | SELECT doc_id, off, m, ascii(substr(m,1,1)) % 10 AS b,
-      |  ascii(substr(m,2,1)) % 3 AS c, ascii(substr(m,3,1)) % 4 AS st,
+      |  ascii(substr(m,2,1)) % 3 AS c, ascii(substr(m,3,1)) % 5 AS st,
       |  ascii(substr(m,4,1)) * 7 % 900 + 100 AS v1, ascii(substr(m,5,1)) * 13 % 1000 AS v2
       | FROM cells),
       |spans AS (
       | SELECT doc_id, off,
-      |  CASE WHEN b < 5 OR b >= 7 THEN 'text' ELSE 'media' END AS kind,
+      |  CASE WHEN b < 5 OR b >= 8 THEN 'text'
+      |       WHEN b = 7 THEN 'break' ELSE 'media' END AS kind,
       |  CASE WHEN b < 2 THEN concat('第', CAST(off AS VARCHAR), '节 ',
       |        CASE c WHEN 0 THEN '存货' WHEN 1 THEN '无形资产' ELSE '开发支出' END, '明细')
       |       WHEN b < 5 THEN concat('其中：数据资源 | ',
       |        CASE st WHEN 0 THEN concat(CAST(v1 AS VARCHAR), ',', lpad(CAST(v2 AS VARCHAR),3,'0'), '.25')
       |                WHEN 1 THEN CAST(v1 AS VARCHAR)
       |                WHEN 2 THEN 'N/A'
-      |                ELSE concat(CAST(v1 AS VARCHAR), ',', lpad(CAST(v2 AS VARCHAR),3,'0')) END, ' | 元')
-      |       WHEN b < 7 THEN NULL
+      |                WHEN 3 THEN concat(CAST(v1 AS VARCHAR), ',', lpad(CAST(v2 AS VARCHAR),3,'0'))
+      |                ELSE concat(CAST(v1 + 10000 AS VARCHAR), '.', lpad(CAST(v2 % 100 AS VARCHAR),2,'0')) END, ' | 元')
+      |       WHEN b < 8 THEN NULL
       |       ELSE concat('补充说明', CAST(v1 AS VARCHAR)) END AS text
       | FROM f),
       |norm AS (
@@ -326,7 +334,8 @@ object CrawlQueries {
       | FROM spans),
       |marked AS (
       | SELECT *,
-      |  CASE WHEN kind = 'text' AND n IS NOT NULL AND n != '' THEN
+      |  CASE WHEN kind = 'break' THEN '#none'
+      |       WHEN kind = 'text' AND n IS NOT NULL AND n != '' THEN
       |   coalesce(
       |    CASE WHEN contains(n, '存货') THEN '存货'
       |         WHEN contains(n, '无形资产') THEN '无形资产'

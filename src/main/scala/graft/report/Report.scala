@@ -135,7 +135,13 @@ object Report {
   /** A5+J3: pivot long rows to the wide report and attach the
     * has-data-resource flag (report_info_collection.py:492-528).
     * Pivot uses the explicit category list so the plan stays static.
-    * The flag side aggregates to one row per doc — broadcast join.
+    *
+    * The flag side aggregates to ONE ROW PER DOC — the same
+    * cardinality as the pivot side, i.e. O(docs), NOT broadcastable
+    * at the 100 TB design point. No join hint: both sides hash on
+    * doc_id, so Catalyst/AQE plans a co-partitioned shuffled hash
+    * join at scale (and may still pick a broadcast when the input
+    * really is tiny — its call, made with runtime sizes).
     */
   def widen(longRows: DataFrame): DataFrame = {
     val deduped = firstPositiveElseFirst(longRows, Seq("doc_id", "item"), "amount_str", "seq")
@@ -147,6 +153,6 @@ object Report {
     val cleaned = Extract.Categories.foldLeft(wide) { (d, c) =>
       d.withColumn(c, Extract.cleanSentinel(col(c)))
     }
-    cleaned.join(broadcast(flags), Seq("doc_id"), "left_outer")
+    cleaned.join(flags, Seq("doc_id"), "left_outer")
   }
 }

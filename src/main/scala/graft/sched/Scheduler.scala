@@ -2,7 +2,7 @@ package graft.sched
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Politeness scheduling (SURVEY.md §2.9 ST1/ST2/ST3).
   *
@@ -32,10 +32,14 @@ object Scheduler {
 
   /** The assignment: tickIndex = which politeness tick (virtual time
     * = tickIndex × tickMs) the URL may fetch at; rank = 1-based
-    * position within its (host, salt) queue.
+    * position within its (host, salt) queue. rank is a Long: a single
+    * (host, salt) queue can exceed 2^31 rows at the 10^10-URL design
+    * point, and an Int overflow would wrap rank negative — making
+    * tick_index negative, so every overflowed row would silently pass
+    * the `tick_index < ticksPerRound` budget check.
     */
   case class SchedOut(url: String, host: String, priority: Long, tiebreak: String,
-                      salt: Int, rank: Int, tick_index: Long, scheduled_ms: Long)
+                      salt: Int, rank: Long, tick_index: Long, scheduled_ms: Long)
 
   /** Token-bucket assignment under a virtual clock: within each
     * (host, salt) queue ordered by (priority, tiebreak, url), the
@@ -78,7 +82,7 @@ object Scheduler {
       .sortWithinPartitions(col("host"), col("salt"), col("priority"),
         col("tiebreak"), col("url"))
     val outSchema = StructType(sorted.schema.fields ++ Seq(
-      StructField("rank", IntegerType, nullable = false),
+      StructField("rank", LongType, nullable = false),
       StructField("tick_index", LongType, nullable = false),
       StructField("scheduled_ms", LongType, nullable = false)))
     val hostIdx = sorted.schema.fieldIndex("host")
@@ -86,15 +90,15 @@ object Scheduler {
     sorted.mapPartitions { it =>
       var curHost: String = null
       var curSalt = Int.MinValue
-      var rank = 0
+      var rank = 0L
       it.map { r =>
         val host = r.getString(hostIdx)
         val salt = r.getInt(saltIdx)
         if (host != curHost || salt != curSalt) {
-          curHost = host; curSalt = salt; rank = 0
+          curHost = host; curSalt = salt; rank = 0L
         }
         rank += 1
-        val tick = (rank - 1).toLong / tokensPerTick
+        val tick = (rank - 1) / tokensPerTick
         Row.fromSeq(r.toSeq :+ rank :+ tick :+ (tick * tickMs))
       }
     }(Encoders.row(outSchema))

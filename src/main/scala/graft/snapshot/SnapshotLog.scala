@@ -79,15 +79,23 @@ final class SnapshotLog(val root: String) extends SnapshotTable {
     // driver threads), so a commit costs ~the largest table's write
     // instead of the sum of all of them. Atomicity is unaffected: the
     // manifest rename below happens only after every write returned.
+    // Failure handling: EVERY in-flight write is awaited before a
+    // failure propagates — otherwise a caller retrying commit() in the
+    // same JVM would recompute the same id and race zombie writers
+    // still writing data/<table>/s<id> underneath the new attempt.
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
+    import scala.util.Try
     implicit val ec: ExecutionContext = ExecutionContext.global
     val writes: Seq[(String, Boolean, Future[String])] =
       (deltas.toSeq.map { case (n, df) => (n, false, df) } ++
         replaced.toSeq.map { case (n, df) => (n, true, df) })
         .map { case (n, repl, df) => (n, repl, Future(writeDir(n, df))) }
-    val written = writes.map { case (n, repl, f) =>
-      (n, repl, Await.result(f, Duration.Inf)) }
+    val settled = writes.map { case (n, repl, f) =>
+      (n, repl, Try(Await.result(f, Duration.Inf))) }
+    settled.collectFirst { case (_, _, scala.util.Failure(e)) => e }
+      .foreach(e => throw e)
+    val written = settled.map { case (n, repl, t) => (n, repl, t.get) }
 
     val parentTables = parent.map(_.tables).getOrElse(Map.empty)
     val afterDeltas = written.collect { case (n, false, dir) => n -> dir }

@@ -142,4 +142,52 @@ class CanonExtractSpec extends SparkSpec {
       ("a3", "存货", "77", 1),
       ("a5", "开发支出", "6", 1)))
   }
+
+  test("extractLongRows: a break span is a table boundary — parent resets (E-arr2)") {
+    val s = spark; import s.implicits._
+    import graft.model.{Doc, Span}
+    val docs = Seq(
+      // header | BREAK | keyword → abort: the reference's upward scan
+      // stops at the current table's row 0
+      // (report_info_collection.py:124-139) — a category header can
+      // never be inherited across a table break
+      Doc("b1", Seq(
+        Span("text", "第1节 存货明细", null, 0),
+        Span("break", null, null, 1),
+        Span("text", "其中：数据资源 | 42 | 元", null, 2))),
+      // header | BREAK | header2 | keyword → header2's category wins
+      Doc("b2", Seq(
+        Span("text", "第1节 存货明细", null, 0),
+        Span("break", null, null, 1),
+        Span("text", "第2节 开发支出明细", null, 2),
+        Span("text", "其中：数据资源 | 7 | 元", null, 3))),
+      // break among SKIPPED spans still resets (unlike media/empty)
+      Doc("b3", Seq(
+        Span("text", "无形资产", null, 0),
+        Span("media", null, "media://x", 1),
+        Span("break", null, null, 2),
+        Span("media", null, "media://y", 3),
+        Span("text", "其中：数据资源 | 9 | 元", null, 4))))
+    val got = Extract.extractLongRows(docs.toDS().toDF())
+      .orderBy("doc_id", "offset")
+      .select("doc_id", "item", "amount_str", "offset").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3)))
+    assert(got.toSeq == Seq(("b2", "开发支出", "7", 3)))
+  }
+
+  test("E-str6 divergence pinned: plain ≥4-digit decimals are NOT truncated") {
+    // The reference's first ladder pattern ((?:\d{1,3},)*\d{1,3}\.\d{2})
+    // is unanchored with * on the comma groups, so re.search on
+    // "1234.56" matches the SUBSTRING "234.56" (verified against
+    // report_info_collection.py:100-107). This engine returns the full
+    // number — a documented deliberate fix (SURVEY.md §2.8 E-str6).
+    assert(Extract.extractFirstNumberScala("1234.56").contains("1234.56"))
+    assert(Extract.extractFirstNumberScala("共 98765.43 元").contains("98765.43"))
+    // the grouped branch still wins when a real comma group exists
+    assert(Extract.extractFirstNumberScala("1,234.56").contains("1,234.56"))
+    // column twin agrees
+    val got = evalStr(Extract.extractFirstNumber(col("v")),
+      Seq("1234.56", "共 98765.43 元", "1,234.56"))
+    assert(got == Seq("1234.56", "98765.43", "1,234.56"))
+  }
 }

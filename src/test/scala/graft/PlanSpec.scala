@@ -63,6 +63,18 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "CartesianProduct") == 0, p)
   }
 
+  test("crawl_wide_report: flag join carries no forced broadcast hint (J3)") {
+    // The flag side of Report.widen is one row per doc — O(docs), the
+    // same cardinality as the pivot side. A forced broadcast() there
+    // is a driver/executor broadcast bomb at the 100 TB design point;
+    // the join must be left to Catalyst/AQE (both sides already hash
+    // on doc_id). Guard: no ResolvedHint survives analysis.
+    val analyzed = SparkEntry.queries("crawl_wide_report")(spark, d)
+      .queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"),
+      s"widen must not force-broadcast an O(docs) join side:\n$analyzed")
+  }
+
   test("dedup_exact: single aggregation exchange with partial aggregation") {
     val p = plan("dedup_exact")
     assert(count(p, "Exchange") == 1, s"exact dedup is one shuffle:\n$p")

@@ -35,14 +35,10 @@ object CrawlOracle {
     var round = 0
 
     while ((listing.nonEmpty || deferred.nonEmpty) && round < cfg.maxRounds) {
-      // 1. listing expansion
-      val annsWithPage: Seq[(Announcement, Int, Int)] = listing.flatMap { t =>
-        Fixtures.announcementsFor(t).map(a => (a, t.page, t.epochDay))
-      }
-      val nextListing = listing.flatMap { t =>
-        CrawlJob.nextListingTask(t,
-          Fixtures.rowsOnPage(t.exchangeRank, t.epochDay, t.category, t.page),
-          Fixtures.totalPages(t.exchangeRank, t.epochDay, t.category), cfg)
+      // 1. listing expansion (growth decided after dedup — step 4b)
+      val annsWithTask: Seq[(Announcement, Seed, Int)] = listing.flatMap { t =>
+        Fixtures.announcementsFor(t).map(a =>
+          (a, Seed(t.exchangeRank, t.exchange, t.epochDay, t.category), t.page))
       }
 
       // 2. filters F1/F2
@@ -50,8 +46,8 @@ object CrawlOracle {
       def passes(title: String): Boolean =
         (yearsRe.findFirstIn(title).isDefined || !title.exists(_.isDigit)) &&
           !title.contains("摘要") && !title.contains("英文版")
-      val urlsSeen = annsWithPage.size
-      val kept = annsWithPage.filter { case (a, _, _) => passes(a.title) }
+      val urlsSeen = annsWithTask.size
+      val kept = annsWithTask.filter { case (a, _, _) => passes(a.title) }
       val filteredCnt = urlsSeen - kept.size
 
       // 3. within-batch first-wins by arrival ordinal
@@ -64,15 +60,24 @@ object CrawlOracle {
       val newUnique = batchFirst.filterNot { case (a, _, _) => seen(Fixtures.seenKey(a)) }
       seen ++= newUnique.map { case (a, _, _) => Fixtures.seenKey(a) }
       val dupDropped = urlsSeen - filteredCnt - newUnique.size
-      newUnique.foreach { case (a, _, day) =>
-        results += ((a.arrivalSeq, a.secCode, a.secName, a.title, day,
-          Fixtures.docUrl(a.adjunctUrl)))
+
+      // 4b. listing growth with the per-stream new-unique feedback
+      val keptCounts: Map[(Int, Int, String), Int] = newUnique
+        .groupBy { case (_, s, _) => (s.exchangeRank, s.epochDay, s.category) }
+        .view.mapValues(_.size).toMap
+      val nextListing = listing.flatMap { t =>
+        CrawlJob.nextListingTask(t,
+          Fixtures.rowsOnPage(t.exchangeRank, t.epochDay, t.category, t.page),
+          keptCounts.getOrElse((t.exchangeRank, t.epochDay, t.category), 0).toLong,
+          Fixtures.totalPages(t.exchangeRank, t.epochDay, t.category), cfg)
       }
 
-      // 5. doc frontier ∪ deferred, robots gate
-      val newTasks = newUnique.map { case (a, page, day) =>
-        DocTask(Fixtures.docUrl(a.adjunctUrl), Fixtures.Host, day, a.secCode, page,
-          Fixtures.seenKey(a))
+      // 5. doc frontier ∪ deferred (result payload rides the task),
+      // robots gate
+      val newTasks = newUnique.map { case (a, s, page) =>
+        DocTask(Fixtures.docUrl(a.adjunctUrl), Fixtures.Host, s.epochDay, a.secCode,
+          page, Fixtures.seenKey(a), a.arrivalSeq, a.secName, a.title,
+          a.timeMs, a.timeStr)
       }
       val allTasks = newTasks ++ deferred
       val (allowed, deniedTasks) = allTasks.partition(t => Fixtures.robotsAllowed(t.url))
@@ -90,12 +95,23 @@ object CrawlOracle {
       deferred = deferNow.map(_._1)
 
       // 7. validate (S2/S3/F4: status + content-type + magic sniff),
-      // then fetch payloads for the survivors only
+      // then fetch payloads for the survivors only. A stage-1 RESULTS
+      // row is appended exactly when validation succeeds — the
+      // reference's total_valid semantics (cninfo_report_crawler.py:
+      // 479-493: all_valid_reports gains a row only for
+      // validate_pdf_access survivors).
       val (validNow, invalidNow) = fetchNow.partition { case (t, _) =>
         Validate.isValidScala(Fixtures.fetchStatus(t.url),
           Fixtures.fetchContentType(t.url), Fixtures.fetchMagic(t.url))
       }
-      validNow.foreach { case (t, _) => docs += t.url -> Fixtures.docFor(t.url) }
+      validNow.foreach { case (t, _) =>
+        docs += t.url -> Fixtures.docFor(t.url)
+        // Canon.announceDate twin: epoch-millis date, else timeStr date
+        val day =
+          if (t.timeMs >= 0) (t.timeMs / 86400000L).toInt
+          else java.time.LocalDate.parse(t.timeStr.split(" ")(0)).toEpochDay.toInt
+        results += ((t.arrivalSeq, t.secCode, t.company, t.title, day, t.url))
+      }
 
       rounds += RoundTrace(round, validNow.map(_._1.url).toSet,
         CrawlJob.Totals(urlsSeen, filteredCnt, dupDropped, newUnique.size,

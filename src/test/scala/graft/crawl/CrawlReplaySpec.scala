@@ -115,43 +115,72 @@ class CrawlReplaySpec extends SparkSpec {
     assert(got == want)
   }
 
-  test("O4 page-growth guards: overshoot +3, past-end soft stop, empty-run, cap") {
+  test("O4 page-growth guards: raw-empty break, overshoot +3, soft stop, empty-run, cap") {
     val cfg2 = CrawlJob.Config(emptyRunLimit = 3, maxPagesCap = 10)
     val t = graft.model.ListingTask(0, "sse", 19800, "annual", page = 1, emptyRun = 0)
     // normal growth resets the empty-run counter
-    assert(CrawlJob.nextListingTask(t.copy(emptyRun = 2), 30, 5, cfg2)
+    assert(CrawlJob.nextListingTask(t.copy(emptyRun = 2), 30, 12, 5, cfg2)
       .contains(t.copy(page = 2, emptyRun = 0)))
+    // a RAW-empty page stops the stream immediately, anywhere — the
+    // reference breaks on an empty announcements list (:283-289)
+    assert(CrawlJob.nextListingTask(t, 0, 0, 5, cfg2).isEmpty)
+    assert(CrawlJob.nextListingTask(t.copy(page = 6), 0, 0, 5, cfg2).isEmpty)
     // totalpages is NOT a hard stop: overshoot continues past it...
-    assert(CrawlJob.nextListingTask(t.copy(page = 5), 7, 5, cfg2)
+    assert(CrawlJob.nextListingTask(t.copy(page = 5), 7, 7, 5, cfg2)
       .contains(t.copy(page = 6, emptyRun = 0)))
-    assert(CrawlJob.nextListingTask(t.copy(page = 7), 4, 5, cfg2)
+    assert(CrawlJob.nextListingTask(t.copy(page = 7), 4, 4, 5, cfg2)
       .contains(t.copy(page = 8, emptyRun = 0)))
     // ...but hard-stops after totalpages+3 even when rows still flow
-    assert(CrawlJob.nextListingTask(t.copy(page = 8), 9, 5, cfg2).isEmpty)
-    // past-end soft stop: 2 consecutive empties past totalpages...
-    assert(CrawlJob.nextListingTask(t.copy(page = 6, emptyRun = 1), 0, 5, cfg2).isEmpty)
-    // ...but a single empty past the end keeps paging
-    assert(CrawlJob.nextListingTask(t.copy(page = 6), 0, 5, cfg2)
+    assert(CrawlJob.nextListingTask(t.copy(page = 8), 9, 9, 5, cfg2).isEmpty)
+    // FILTERED-empty (rows served, all dedup-dropped): past-end soft
+    // stop after 2 consecutive such pages...
+    assert(CrawlJob.nextListingTask(t.copy(page = 6, emptyRun = 1), 5, 0, 5, cfg2).isEmpty)
+    // ...but a single all-dropped page past the end keeps paging
+    assert(CrawlJob.nextListingTask(t.copy(page = 6), 5, 0, 5, cfg2)
       .contains(t.copy(page = 7, emptyRun = 1)))
     // totalpages=0: page 1 only (reference :258-261)
-    assert(CrawlJob.nextListingTask(t, 12, 0, cfg2).isEmpty)
-    // pre-end empty-run limit (3) still stops mid-stream
-    assert(CrawlJob.nextListingTask(t.copy(emptyRun = 1), 0, 9, cfg2)
+    assert(CrawlJob.nextListingTask(t, 12, 12, 0, cfg2).isEmpty)
+    // pre-end empty-run limit (3) stops a mid-stream all-dropped run
+    assert(CrawlJob.nextListingTask(t.copy(emptyRun = 1), 20, 0, 9, cfg2)
       .contains(t.copy(page = 2, emptyRun = 2)))
-    assert(CrawlJob.nextListingTask(t.copy(emptyRun = 2), 0, 9, cfg2).isEmpty)
+    assert(CrawlJob.nextListingTask(t.copy(emptyRun = 2), 20, 0, 9, cfg2).isEmpty)
     // hard page cap (reference: max_pages_limit=500)
-    assert(CrawlJob.nextListingTask(t.copy(page = 10), 30, 99, cfg2).isEmpty)
+    assert(CrawlJob.nextListingTask(t.copy(page = 10), 30, 30, 99, cfg2).isEmpty)
   }
 
   test("O4 overshoot recovers rows the claimed totalpages would drop") {
-    // at least one fixture stream must serve rows past its totalpages
-    val lied = for {
+    // at least one fixture stream must BOTH survive to its claimed end
+    // (no raw-empty break before totalpages) and then serve rows on
+    // page totalpages+1 — i.e. the overshoot actually recovers rows
+    val recovered = for {
       ex <- 0 until 2; day <- 19800 to 19801; cat <- Fixtures.Categories
       tp = Fixtures.totalPages(ex, day, cat)
       if tp > 0
-      p <- (tp + 1) to (tp + 3)
-    } yield Fixtures.rowsOnPage(ex, day, cat, p)
-    assert(lied.sum > 0, "fixtures must exercise the lying-totalpages path")
+      if (1 to tp).forall(p => Fixtures.rowsOnPage(ex, day, cat, p) > 0)
+    } yield Fixtures.rowsOnPage(ex, day, cat, tp + 1)
+    assert(recovered.sum > 0, "fixtures must exercise the lying-totalpages path")
+  }
+
+  test("results table holds exactly the VALIDATED fetches (reference total_valid)") {
+    // The reference appends a stage-1 row only when validate_pdf_access
+    // succeeds (cninfo_report_crawler.py:479-493): no 404, no non-PDF,
+    // no robots-denied URL may appear in the results table or the
+    // final report.
+    val snap = log.latest().get
+    val urls = log.readTable(spark, snap, CrawlJob.ResultsTable).get
+      .select("pdf_url").collect().map(_.getString(0))
+    assert(urls.nonEmpty)
+    urls.foreach { u =>
+      assert(Validate.isValidScala(Fixtures.fetchStatus(u),
+        Fixtures.fetchContentType(u), Fixtures.fetchMagic(u)),
+        s"unvalidated URL in results: $u")
+      assert(Fixtures.robotsAllowed(u), s"robots-denied URL in results: $u")
+    }
+    // and results ≡ the fetched-docs set, keyed per task row
+    val fetched = log.readTable(spark, snap, CrawlJob.DocsTable).get
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    assert(urls.toSet == fetched,
+      "results rows must correspond 1:1 to validated fetches")
   }
 
   test("seen keys equal reference 4-tuple identity (first wins)") {
