@@ -90,32 +90,37 @@ object SimilarityOps {
     topK(c.join(broadcast(q), Seq("__bkt")), k)
   }
 
-  /** IVF with a REAL coarse quantizer: `numCentroids` deterministic
-    * seed centroids (the vectors with the smallest ids — at the 100 TB
-    * design point these come from a sampled k-means; seed rows keep
-    * the assignment exactly reproducible for the oracle), every
-    * candidate assigned to its nearest centroid by cosine (exact
-    * integer dot/norms, deterministic centroid-id tie-break), queries
-    * probing their `nprobe` nearest cells.
+  /** IVF with a REAL coarse quantizer: `numCentroids` seed centroids
+    * drawn as a deterministic HASH SAMPLE (the vectors with the
+    * smallest md5(id) — uniform over the corpus, engine-portable),
+    * refined by `lloydSteps` k-means (Lloyd) iterations whose
+    * centroids are EXACT integer means (floor(sum_i / count), int64 —
+    * bit-identical in any engine), then every candidate assigned to
+    * its nearest refined centroid by cosine (deterministic
+    * centroid-id tie-break), queries probing their `nprobe` nearest
+    * cells.
     *
-    * Plan shape at scale: assignment is a broadcast nested-loop of K
-    * tiny centroid rows against the table — a NARROW map over the big
-    * side (no shuffle); the search is then an equi-join on cell id
-    * with the nprobe-expanded query set broadcast. A candidate lives
-    * in exactly one cell, so probe results need no pair dedup.
+    * Plan shape at scale: seed selection is a TakeOrderedAndProject
+    * (per-partition top-K heaps, no full sort); each Lloyd step is a
+    * NARROW broadcast argmax over the big side followed by ONE
+    * groupBy(cell) whose `dims` sum aggregates combine map-side down
+    * to K rows; the search is an equi-join on cell id with the
+    * nprobe-expanded query set broadcast. A candidate lives in
+    * exactly one cell, so probe results need no pair dedup.
     */
   def annIvfCentroids(queries: DataFrame, candidates: DataFrame,
                       idCol: String, vecCol: String, k: Int,
-                      numCentroids: Int, nprobe: Int): DataFrame = {
-    // The centroid set rides as ONE broadcast row holding an array —
+                      numCentroids: Int, nprobe: Int,
+                      dims: Int = 64, lloydSteps: Int = 1): DataFrame = {
+    // Centroids ride as ONE broadcast row holding an array —
     // assignment is then a per-row argmax over that array: a NARROW
     // map over the big side (no shuffle, no window; a row_number
     // formulation would re-shuffle every vector just to rank K=8
     // centroids).
-    val centArr = quantized(candidates.where(col(idCol) < numCentroids), idCol, vecCol)
-      .agg(collect_list(struct(col(idCol).cast("long").as("cid"),
-        col("qv").as("cent_qv"), col("nsq").as("cent_nsq"))).as("__cents"))
-    def assignCells(df: DataFrame, probes: Int): DataFrame = {
+    def centArrOf(cents: DataFrame): DataFrame =
+      cents.agg(collect_list(struct(col("cid"), col("cent_qv"),
+        col("cent_nsq"))).as("__cents"))
+    def assignCells(df: DataFrame, probes: Int, centArr: DataFrame): DataFrame = {
       val scored = transform(col("__cents"), c => struct(
         cosineQ(dotQ(col("qv"), c.getField("cent_qv")), col("nsq"),
           c.getField("cent_nsq")).as("cos"),
@@ -132,10 +137,29 @@ object SimilarityOps {
           1, probes)))
         .select(col(idCol), col("__probe.cid").as("cell"), col("qv"), col("nsq"))
     }
-    val idx = assignCells(candidates, 1)
+    val seeds = quantized(candidates, idCol, vecCol)
+      .withColumn("__h", md5(col(idCol).cast("string")))
+      .orderBy(col("__h"), col(idCol))
+      .limit(numCentroids)
+      .select(col(idCol).cast("long").as("cid"), col("qv").as("cent_qv"),
+        col("nsq").as("cent_nsq"))
+    var centArr = centArrOf(seeds)
+    (0 until lloydSteps).foreach { _ =>
+      val member = assignCells(candidates, 1, centArr)
+      val sumCols = (0 until dims).map(i => sum(get(col("qv"), lit(i))).as(s"s$i")) :+
+        count(lit(1)).as("cnt")
+      val refined = member.groupBy(col("cell"))
+        .agg(sumCols.head, sumCols.tail: _*)
+        .select(col("cell").as("cid"),
+          array((0 until dims).map(i =>
+            floor(col(s"s$i").cast("double") / col("cnt"))): _*).as("cent_qv"))
+        .withColumn("cent_nsq", normSqQ(col("cent_qv")))
+      centArr = centArrOf(refined)
+    }
+    val idx = assignCells(candidates, 1, centArr)
       .select(col(idCol).as("neighbor_id"), col("cell"),
         col("qv").as("c_qv"), col("nsq").as("c_nsq"))
-    val qs = assignCells(queries, nprobe)
+    val qs = assignCells(queries, nprobe, centArr)
       .select(col(idCol).as("query_id"), col("cell"),
         col("qv").as("q_qv"), col("nsq").as("q_nsq"))
     topK(idx.join(broadcast(qs), Seq("cell")), k)

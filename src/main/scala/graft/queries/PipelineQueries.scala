@@ -55,9 +55,10 @@ object PipelineQueries {
         "vec_id", "embedding", k = 5)
     }),
 
-    // Real IVF: 8 seed centroids, every vector assigned to its
-    // nearest cell (narrow broadcast argmax), queries probe their 2
-    // nearest cells (nprobe=2).
+    // Real IVF: 8 hash-sampled seeds refined by one exact-integer
+    // Lloyd step, every vector assigned to its nearest cell (narrow
+    // broadcast argmax), queries probe their 2 nearest cells
+    // (nprobe=2). Recall vs brute force is reported in OpsSpec.
     "ann_ivf_topk" -> ((s, d) => {
       val e = emb(s, d)
       SimilarityOps.annIvfCentroids(e.where(col("vec_id") % 50 === 0), e,
@@ -159,7 +160,22 @@ object PipelineQueries {
     "ann_ivf_topk" ->
       s"""WITH q AS (SELECT vec_id, $quantSql AS qv FROM embeddings),
         |n AS (SELECT vec_id, qv, ${dotSql("qv", "qv")} AS nsq FROM q),
-        |cents AS (SELECT vec_id AS cid, qv AS cent_qv, nsq AS cent_nsq FROM n WHERE vec_id < 8),
+        |seeds AS (
+        | SELECT vec_id AS cid, qv AS cent_qv, nsq AS cent_nsq FROM n
+        | ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        |sasg0 AS (
+        | SELECT vec_id, cid, ${dotSql("qv", "cent_qv")} AS cdot, nsq, cent_nsq, qv
+        | FROM n CROSS JOIN seeds),
+        |sasg AS (
+        | SELECT vec_id, cid, qv, row_number() OVER (PARTITION BY vec_id
+        |   ORDER BY CAST(cdot AS DOUBLE)/sqrt(CAST(nsq*cent_nsq AS DOUBLE)) DESC, cid) AS crank
+        | FROM sasg0),
+        |mem AS (SELECT cid, qv FROM sasg WHERE crank = 1),
+        |sums AS (
+        | SELECT cid, i, CAST(floor(CAST(sum(qv[i]) AS DOUBLE) / count(*)) AS BIGINT) AS m
+        | FROM mem, generate_series(1, 64) g(i) GROUP BY cid, i),
+        |cents0 AS (SELECT cid, list(m ORDER BY i) AS cent_qv FROM sums GROUP BY cid),
+        |cents AS (SELECT cid, cent_qv, ${dotSql("cent_qv", "cent_qv")} AS cent_nsq FROM cents0),
         |asg0 AS (
         | SELECT vec_id, cid, ${dotSql("qv", "cent_qv")} AS cdot, nsq, cent_nsq
         | FROM n CROSS JOIN cents),
