@@ -17,11 +17,14 @@ object ReplayLoopProbe {
       .config("spark.driver.host", "localhost")
       .config("spark.sql.codegen.wholeStage",
         sys.env.getOrElse("SPARK_GRAFT_PROBE_CODEGEN", "true"))
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_PROBE_AQE", "true"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     val cfg = graft.crawl.CrawlJob.Config(
       saltCount = 4, tokensPerTick = 16, ticksPerRound = 8, bloomP = 8,
-      roundShufflePartitions = 8, roundWholeStageCodegen = false)
+      roundShufflePartitions = 8, roundWholeStageCodegen = false,
+      roundAdaptive = false)
     val seeds = graft.crawl.CrawlJob.expandSeeds(19830, 19831)
     val root = java.nio.file.Files.createTempDirectory("replay-loop-probe").toString
     val log = new graft.snapshot.SnapshotLog(root)

@@ -78,6 +78,13 @@ object CrawlJob {
       // when the budget bounds a round to hundreds (measured 35% of
       // small-replay wall time); small-batch configs set false.
       roundWholeStageCodegen: Boolean = true,
+      // Adaptive query execution per round: AQE's per-stage
+      // materialize-and-replan loop is what makes big shuffles robust
+      // (skew splits, runtime join picks — leave true at the design
+      // point) but is pure sequencing latency when a round's batch is
+      // budget-bounded to hundreds of rows (measured ~2.5s/round of a
+      // ~6s round); small-batch configs set false.
+      roundAdaptive: Boolean = true,
       maxRounds: Int = 1000)
 
   /** Global lineage totals for one round (the per-partition rows live
@@ -186,38 +193,64 @@ object CrawlJob {
     */
   def runRound(spark: SparkSession, cfg: Config, log: SnapshotLog,
                snap: SnapshotLog.Snapshot, round: Int): RoundResult = {
-    if (cfg.roundShufflePartitions > 0 || !cfg.roundWholeStageCodegen) {
+    if (cfg.roundShufflePartitions > 0 || !cfg.roundWholeStageCodegen ||
+        !cfg.roundAdaptive) {
       val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
       val prevCodegen = spark.conf.get("spark.sql.codegen.wholeStage")
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
       try runRoundInner(spark, cfg, log, snap, round)
       finally {
         spark.conf.set("spark.sql.shuffle.partitions", prevParts)
         spark.conf.set("spark.sql.codegen.wholeStage", prevCodegen)
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       }
     } else runRoundInner(spark, cfg, log, snap, round)
   }
 
+  /** Env-gated round tracing (SPARK_GRAFT_ROUND_DEBUG=1): stderr
+    * timing of the three blocking driver actions per round.
+    */
+  private val roundDebug = sys.env.get("SPARK_GRAFT_ROUND_DEBUG").contains("1")
+
   private def runRoundInner(spark: SparkSession, cfg: Config, log: SnapshotLog,
                             snap: SnapshotLog.Snapshot, round: Int): RoundResult = {
     import spark.implicits._
+    var tMark = System.nanoTime()
+    def mark(what: String): Unit = if (roundDebug) {
+      val now = System.nanoTime()
+      System.err.println(f"[round $round] $what ${(now - tMark) / 1e9}%.2fs")
+      tMark = now
+    }
     if (cfg.roundShufflePartitions > 0)
       spark.conf.set("spark.sql.shuffle.partitions", cfg.roundShufflePartitions)
     if (!cfg.roundWholeStageCodegen)
       spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    if (!cfg.roundAdaptive)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
     val params = bloomParams(cfg)
 
-    val listing = log.readTable(spark, snap, ListingTable)
-      .map(_.as[ListingTask]).getOrElse(spark.emptyDataset[ListingTask])
+    // The LISTING state is O(active streams) — exchange × date ×
+    // category tasks, i.e. bounded METADATA (thousands of rows at the
+    // 10^10-URL design point), the same class as robots rules and the
+    // lineage counters. It lives driver-side within a round: page
+    // growth needs this round's per-stream new-unique counts (the
+    // reference's empty_pages_count), and a distributed join for a
+    // counter-sized decision measured 3x the round's fixed cost. The
+    // page EXPANSION below (the O(announcements) fan-out) stays fully
+    // distributed.
+    val listingTasks: Seq[ListingTask] = log.readTable(spark, snap, ListingTable)
+      .map(_.as[ListingTask].collect().toSeq).getOrElse(Seq.empty)
+    val listing = spark.createDataset(spark.sparkContext.parallelize(
+      listingTasks,
+      math.max(1, math.min(spark.sparkContext.defaultParallelism, listingTasks.size))))
     val deferredPrev = log.readTable(spark, snap, DocsFrontierTable)
       .map(_.as[DocTask]).getOrElse(spark.emptyDataset[DocTask])
+    mark("listing_read")
 
     // ---- 1. listing expansion (synthetic S1 scan) -------------------
     // The whole per-(exchange,date,category) stream state is one row;
     // rows are generated executor-side from the pure generator. Page
-    // GROWTH is decided later (step 4b): the reference's empty-page
-    // tolerance counts pages whose rows were all dedup-dropped, so the
-    // listing frontier needs this round's per-stream new-unique counts
-    // fed back before it can advance.
+    // GROWTH is decided after dedup (step 9b).
     val anns = listing.flatMap { t =>
       Fixtures.announcementsFor(t).map { a =>
         (t.exchangeRank, t.epochDay, t.category, a.secCode, a.secName, a.title,
@@ -274,27 +307,6 @@ object CrawlJob {
     }
     val newUniqueDf = definitelyNew.unionByName(confirmedNew)
       .persist(StorageLevel.MEMORY_AND_DISK)
-
-    // ---- 4b. listing frontier growth with the dedup feedback --------
-    // nextListingTask needs this round's per-stream NEW-UNIQUE count
-    // (the reference's empty_pages_count input). Both sides of the
-    // join are O(active streams) — frontier-task-sized, thousands of
-    // rows at the 10^10-URL design point, never O(announcements).
-    val keptCounts = newUniqueDf.groupBy(
-        col("exchange_rank").as("exchangeRank"),
-        col("epoch_day").as("epochDay"), col("category"))
-      .agg(count(lit(1)).as("newKept"))
-    val nextListing = listing.toDF()
-      .join(keptCounts, Seq("exchangeRank", "epochDay", "category"), "left_outer")
-      .select(struct(col("exchangeRank"), col("exchange"), col("epochDay"),
-          col("category"), col("page"), col("emptyRun")).as("_1"),
-        coalesce(col("newKept"), lit(0L)).as("_2"))
-      .as[(ListingTask, Long)]
-      .flatMap { case (t, kept) =>
-        nextListingTask(t,
-          Fixtures.rowsOnPage(t.exchangeRank, t.epochDay, t.category, t.page),
-          kept, Fixtures.totalPages(t.exchangeRank, t.epochDay, t.category), cfg)
-      }
 
     // ---- 5. build this round's sketch delta over new keys ----------
     val sketchDelta = SeenFilter.buildPartitionedBloom(
@@ -357,12 +369,19 @@ object CrawlJob {
     // survivors directly yield BOTH the docs delta and the stage-1
     // results delta (reference: all_valid_reports is appended only for
     // validate_pdf_access survivors, cninfo_report_crawler.py:479-493).
-    val probedFetch = toFetch.select(docTaskCols.map(col): _*).as[DocTask]
-      .map { t =>
-        (t, Fixtures.fetchStatus(t.url), Fixtures.fetchContentType(t.url),
-          Fixtures.fetchMagic(t.url))
-      }.toDF("task", "status", "content_type", "magic")
-      .select(col("task.*"), col("status"), col("content_type"), col("magic"))
+    // NARROW probe columns via scalar UDFs on url (the synthetic
+    // network edge — a real fetcher is the same shape): an
+    // `as[DocTask].map` round-trip here costs a full object
+    // (de)serialization of every task row and measured ~2x the
+    // round's fixed cost with per-round codegen off.
+    val probeStatus = udf(Fixtures.fetchStatus _)
+    val probeCt = udf(Fixtures.fetchContentType _)
+    val probeMagic = udf(Fixtures.fetchMagic _)
+    val probedFetch = toFetch
+      .select("url", "arrivalSeq", "secCode", "company", "title", "timeMs", "timeStr")
+      .withColumn("status", probeStatus(col("url")))
+      .withColumn("content_type", probeCt(col("url")))
+      .withColumn("magic", probeMagic(col("url")))
       .withColumn("__valid",
         Validate.isValid(col("status"), col("content_type"), col("magic")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -398,7 +417,20 @@ object CrawlJob {
         if (n == 0) Iterator.empty
         else Iterator((round, counter, org.apache.spark.TaskContext.getPartitionId(), n))
       }.toDF("round", "counter", "partition_id", "n")
-    val nextListingDf = nextListing.toDF().persist(StorageLevel.MEMORY_AND_DISK)
+    // Per-STREAM new-unique counts ride the same narrow job as
+    // `stream_new:<exchange>:<day>:<category>` counter rows — the
+    // listing-growth feedback (reference empty_pages_count input).
+    // Rows ≤ streams × partitions: counter-sized.
+    val streamNew = newUniqueDf.select("exchange_rank", "epoch_day", "category")
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { r =>
+          val k = s"stream_new:${r.getInt(0)}:${r.getInt(1)}:${r.getString(2)}"
+          m.update(k, m.getOrElse(k, 0L) + 1)
+        }
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        m.iterator.map { case (k, n) => (round, k, pid, n) }
+      }.toDF("round", "counter", "partition_id", "n")
     val metricsDelta =
       partCounts(candidates, "urls_seen")
         .unionByName(partCounts(candidates.where(!col("__passes")), "filtered"))
@@ -407,9 +439,12 @@ object CrawlJob {
         .unionByName(partCounts(invalidFetch, "invalid"))
         .unionByName(partCounts(deferredNow, "deferred"))
         .unionByName(partCounts(denied, "robots_denied"))
-        .unionByName(partCounts(nextListingDf, "listing_pending"))
+        .unionByName(streamNew)
         .persist(StorageLevel.MEMORY_AND_DISK)
-    val totalsByCounter = metricsDelta.collect()
+    mark("plan_build")
+    val metricsRows = metricsDelta.collect()
+    mark("metrics_action")
+    val totalsByCounter = metricsRows
       .groupBy(_.getString(1))
       .view.mapValues(_.map(_.getLong(3)).sum).toMap
       .withDefaultValue(0L)
@@ -420,8 +455,21 @@ object CrawlJob {
     val invalidCnt = totalsByCounter("invalid")
     val deferredCnt = totalsByCounter("deferred")
     val deniedCnt = totalsByCounter("robots_denied")
-    val listingPending = totalsByCounter("listing_pending")
     val dupDropped = urlsSeenCnt - filtered - newUnique
+
+    // ---- 9b. listing frontier growth (driver-side, counter-fed) -----
+    val keptByStream: Map[(Int, Int, String), Long] = totalsByCounter
+      .collect { case (k, n) if k.startsWith("stream_new:") =>
+        val Array(_, ex, day, cat) = k.split(":", 4)
+        (ex.toInt, day.toInt, cat) -> n
+      }.toMap
+    val nextTasks: Seq[ListingTask] = listingTasks.flatMap { t =>
+      nextListingTask(t,
+        Fixtures.rowsOnPage(t.exchangeRank, t.epochDay, t.category, t.page),
+        keptByStream.getOrElse((t.exchangeRank, t.epochDay, t.category), 0L),
+        Fixtures.totalPages(t.exchangeRank, t.epochDay, t.category), cfg)
+    }
+    val listingPending = nextTasks.size.toLong
 
     // ---- 10. atomic snapshot commit ---------------------------------
     val done = listingPending == 0 && deferredCnt == 0
@@ -448,12 +496,13 @@ object CrawlJob {
       .collect { case (nonEmpty, name, df) if nonEmpty => name -> df }
       .toMap
     val replaced = Map(
-      ListingTable -> small(nextListingDf.toDF()),
+      ListingTable -> small(nextTasks.toDS().toDF()),
       DocsFrontierTable -> small(deferredNow)) ++
       (if (compactSketch)
          Map(SketchTable -> SeenFilter.mergeSketches(
            sketchPrev.get.unionByName(sketchDelta)))
        else Map.empty[String, DataFrame])
+    mark("growth")
     val next = log.commit(
       deltas = deltas,
       replaced = replaced,
@@ -464,8 +513,9 @@ object CrawlJob {
         "robots_denied" -> deniedCnt.toString, "fetched" -> fetchedCnt.toString,
         "invalid" -> invalidCnt.toString, "deferred" -> deferredCnt.toString))
 
+    mark("commit")
     Seq(anns, candidates, probed, newUniqueDf, allTasks, gated, assigned,
-      deferredNow, probedFetch, fetchedDocs, nextListingDf, metricsDelta)
+      deferredNow, probedFetch, fetchedDocs, metricsDelta)
       .foreach(_.unpersist())
     RoundResult(round, totals, next.id, listingPending, deferredCnt)
   }
