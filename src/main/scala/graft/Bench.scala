@@ -27,7 +27,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  private def session(cpus: Int, parts: Int): SparkSession = {
+  private[graft] def session(cpus: Int, parts: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", parts)
@@ -35,6 +35,8 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -63,16 +65,21 @@ object Bench {
     val loLevel = sys.env.getOrElse("SPARK_GRAFT_BENCH_LO", "2").toInt
     val hiLevel = sys.env.getOrElse("SPARK_GRAFT_BENCH_HI", "8").toInt
     val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", (2 * hiLevel).toString).toInt
-    def runLevel(level: Int, reps: Int): Seq[ReplayBench.PipelineStats] = {
-      val s = session(level, parts)
-      try (1 to reps).map(_ => ReplayBench.run(s, nUrls))
-      finally s.stop()
-    }
+    // Each level runs in its OWN child JVM with ParallelGCThreads
+    // scaled to its core count (floor 2). Sharing one JVM pins GC
+    // parallelism to one value for both levels, which hands the
+    // narrow level a large GC-thread subsidy (8 GC threads serving 2
+    // worker threads) that no real cluster executor gets — executors
+    // size GC to their own cores. A child JVM also isolates heap/JIT
+    // state per level; each child still discards one full-size
+    // warm-up run before its measured reps.
+    def runLevel(level: Int, reps: Int): Seq[ReplayBench.PipelineStats] =
+      BenchLevel.spawn(level, parts, nUrls, reps)
     def eff(lo: ReplayBench.PipelineStats, hi: ReplayBench.PipelineStats): Double =
       (hi.throughput / lo.throughput) / (hiLevel.toDouble / loLevel)
     // SYMMETRIC min-of-2 per level; the hi pair brackets the lo pair
-    // so JVM drift hits both levels, not just one.
-    runLevel(hiLevel, 1) // discard: JVM-global JIT/heap warm-up
+    // so BOX drift hits both levels, not just one. (Each child does
+    // its own discarded warm-up run — see BenchLevel.)
     var hiRuns = runLevel(hiLevel, 1)
     var loRuns = runLevel(loLevel, 2)
     hiRuns ++= runLevel(hiLevel, 1)
@@ -145,5 +152,64 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH/latest.json"))
     Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.writeString(outPath, json + "\n")
+  }
+}
+
+/** One scaling level in its OWN JVM (see Bench: GC threads must scale
+  * with the level's cores, as real executors' do). Child protocol: one
+  * discarded full-size warm-up pass, then `reps` measured passes, each
+  * printed as a single machine-parseable stdout line.
+  */
+object BenchLevel {
+
+  def main(args: Array[String]): Unit = {
+    val Array(level, parts, n, reps) = args.map(_.toLong)
+    val s = Bench.session(level.toInt, parts.toInt)
+    ReplayBench.run(s, n) // discard: JIT/heap warm-up inside this JVM
+    (1 to reps.toInt).foreach { _ =>
+      val p = ReplayBench.run(s, n)
+      val stages = p.stageSec.map { case (k, v) => f"stage:$k=$v%.3f" }.mkString(" ")
+      println(f"[benchlevel] urls=${p.urlsSeen} scheduled=${p.scheduled} " +
+        f"fetched=${p.fetched} spans=${p.spans} wall=${p.wallSec}%.3f $stages")
+    }
+    s.stop()
+  }
+
+  /** Spawn a level child: same classpath and JVM flags as this JVM,
+    * but ParallelGCThreads = max(2, cores) and ConcGCThreads scaled to
+    * match. Environment passes through (SPARK_GRAFT_* knobs work).
+    */
+  def spawn(level: Int, parts: Int, n: Long, reps: Int): Seq[ReplayBench.PipelineStats] = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
+    val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filterNot(a => a.startsWith("-XX:ParallelGCThreads") ||
+        a.startsWith("-XX:ConcGCThreads"))
+    val gc = math.max(2, level)
+    val cmd = Seq(javaBin) ++ inherited ++ Seq(
+      s"-XX:ParallelGCThreads=$gc",
+      s"-XX:ConcGCThreads=${math.max(1, gc / 4)}",
+      "-cp", sys.props("java.class.path"),
+      "graft.BenchLevel", level.toString, parts.toString, n.toString, reps.toString)
+    val pb = new ProcessBuilder(cmd.asJava)
+      .redirectError(ProcessBuilder.Redirect.INHERIT)
+    val proc = pb.start()
+    val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
+    val rc = proc.waitFor()
+    require(rc == 0, s"BenchLevel child (level=$level) exited $rc")
+    val stats = out.filter(_.startsWith("[benchlevel]")).map { line =>
+      val kv = line.split("\\s+").drop(1)
+        .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+      ReplayBench.PipelineStats(
+        kv("urls").toLong, kv("scheduled").toLong, kv("fetched").toLong,
+        kv("spans").toLong, kv("wall").toDouble,
+        kv.collect { case (k, v) if k.startsWith("stage:") =>
+          k.stripPrefix("stage:") -> v.toDouble })
+    }
+    require(stats.size == reps, s"BenchLevel child (level=$level) produced " +
+      s"${stats.size} of $reps readings:\n${out.mkString("\n")}")
+    stats
   }
 }

@@ -55,6 +55,31 @@ object ReplayBench {
     def throughput: Double = (scheduled + fetched) / wallSec
   }
 
+  /** Env-gated (SPARK_GRAFT_STAGE_DUMP=1) per-Spark-stage metrics via
+    * a listener: wall (submit→complete), summed task run time, max
+    * task time, task count — the scaling-limiter microscope (which
+    * stages stop parallelizing between local[N] and local[4N]).
+    */
+  private final class StageDump extends org.apache.spark.scheduler.SparkListener {
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, Int, Double, Double, Double)]
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val i = sc.stageInfo
+      val wall = (for {a <- i.submissionTime; b <- i.completionTime} yield (b - a) / 1e3)
+        .getOrElse(-1.0)
+      rows += ((i.stageId, i.name.takeWhile(_ != '\n').take(60), i.numTasks,
+        wall, i.taskMetrics.executorRunTime / 1e3, i.taskMetrics.executorCpuTime / 1e9))
+    }
+    def dump(tag: String): Unit = {
+      rows.sortBy(-_._4).take(14).foreach { case (id, name, nt, wall, run, cpu) =>
+        System.err.println(f"[stagedump $tag] id=$id tasks=$nt wall=$wall%.2fs " +
+          f"taskRunSum=$run%.2fs taskCpuSum=$cpu%.2fs $name")
+      }
+      rows.clear()
+    }
+  }
+
   /** One full pipeline pass; returns counts + wall time.
     * `fineStages`: also time each sub-pipeline with its own action
     * (debugging only — recomputes prefixes, inflates wall time).
@@ -62,6 +87,10 @@ object ReplayBench {
   def run(spark: SparkSession, n: Long, saltCount: Int = 256,
           tokensPerTick: Int = 16, ticksFetchable: Long = 256,
           bloomP: Int = 64, fineStages: Boolean = false): PipelineStats = {
+    val stageDump =
+      if (sys.env.get("SPARK_GRAFT_STAGE_DUMP").contains("1")) {
+        val l = new StageDump; spark.sparkContext.addSparkListener(l); Some(l)
+      } else None
     import spark.implicits._
     val stages = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     var tPrev = System.nanoTime()
@@ -101,15 +130,26 @@ object ReplayBench {
     // first-wins dedup (A1): hash agg with map-side combine
     val first = SeenFilter.firstWinsAgg(kept, Seq("seen_key"), "arrival_seq")
 
-    // bloom split + exact confirm (A6 + J1) — the distributed cogroup
-    // probe (the round loop's design-point path: no driver-side
-    // sketch state, each task holds one pid's sketch).
-    // SPARK_GRAFT_PROBE=broadcast switches to the small-state
-    // collect+broadcast probe for A/B measurements.
+    // bloom split + exact confirm (A6 + J1) — SIZE-ADAPTIVE probe,
+    // the same strategy CrawlJob runs (Config.sketchBroadcastMaxBytes
+    // analog): this bench's sketch state (bloomP × 32 KB = 2 MB at the
+    // default) is far under the 8 MB broadcast threshold, so the
+    // production path is collect+broadcast (narrow, zero shuffles);
+    // the distributed cogroup engages above it (the 10^10 design point
+    // where the state is ~12 GB). The cogroup costs a full-width
+    // candidate shuffle — A/B at 2M URLs: broadcast 13.9s / cogroup
+    // 19.9s at local[8], N→4N efficiency 0.80 vs 0.64.
+    // SPARK_GRAFT_PROBE=broadcast|cogroup forces a path for A/Bs.
     // persisted: BOTH branches of the bloom split consume it — without
     // the persist the probe shuffle (and everything upstream) runs twice
+    val sketchStateBytes = bloomP.toLong * (params.numBits / 8)
+    val useBroadcast = sys.env.get("SPARK_GRAFT_PROBE") match {
+      case Some("broadcast") => true
+      case Some("cogroup") => false
+      case _ => sketchStateBytes <= (8L << 20)
+    }
     val probed =
-      (if (sys.env.get("SPARK_GRAFT_PROBE").contains("broadcast"))
+      (if (useBroadcast)
         SeenFilter.probeBloom(first, "seen_key", bloomP, params,
           SeenFilter.collectSketches(sketchDf))
       else
@@ -160,6 +200,11 @@ object ReplayBench {
       .observe(obsFetch, count(lit(1)).as("fetched"), sum(size(col("spans"))).as("spans"))
     Extract.extractLongRows(docs).count()
     mark("schedule_fetch_extract")
+    stageDump.foreach { l =>
+      Thread.sleep(500) // let the async listener bus drain
+      l.dump(s"cores=${spark.sparkContext.defaultParallelism}")
+      spark.sparkContext.removeSparkListener(l)
+    }
     val scheduled = obsSched.get("scheduled").asInstanceOf[Long]
     val fetched = obsFetch.get("fetched").asInstanceOf[Long]
     val spans = obsFetch.get("spans").asInstanceOf[Long]

@@ -76,9 +76,26 @@ object Scheduler {
   def assignVirtualTicksCols(df: DataFrame, saltCount: Int, tokensPerTick: Int,
                              tickMs: Long): DataFrame = {
     require(saltCount > 0 && tokensPerTick > 0)
+    // EXACTLY-uniform partition placement. A plain
+    // repartition(host, salt) throws the saltCount (host, salt) queues
+    // into numPartitions bins by murmur3 — a binomial balls-in-bins
+    // process whose fullest bin runs ~2-2.5x the mean (measured: the
+    // fetch/extract stage's max task 2.5x its mean, parallel
+    // efficiency 40% on one wave). Instead each queue picks its target
+    // partition directly — pmod(xxhash64(host) + salt, n), uniform
+    // because the salt is uniform — and routes there through a TOKEN
+    // column chosen so Spark's HashPartitioning (pmod(murmur3(token),
+    // n)) lands exactly on that partition. Same single shuffle, no
+    // extra pass, fullest-bin ratio ~1.01 (sums of consecutive salts).
+    val numParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val tokens = partitionTokens(numParts)
     val sorted = df
       .withColumn("salt", saltCol(col("url"), saltCount))
-      .repartition(col("host"), col("salt"))
+      .withColumn("__ptok", element_at(
+        lit(tokens),
+        (pmod(xxhash64(col("host")) + col("salt"), lit(numParts.toLong)) + 1).cast("int")))
+      .repartition(numParts, col("__ptok"))
+      .drop("__ptok")
       .sortWithinPartitions(col("host"), col("salt"), col("priority"),
         col("tiebreak"), col("url"))
     val outSchema = StructType(sorted.schema.fields ++ Seq(
@@ -103,6 +120,28 @@ object Scheduler {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** For each partition p in [0, n): an Int token whose Spark
+    * HashPartitioning id — pmod(murmur3_x86_32(token, seed=42), n),
+    * exactly what `repartition(n, col)` computes for an int column —
+    * equals p. Found by linear search (coupon-collector, ~n·ln n
+    * probes); cached per n.
+    */
+  private val tokenCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Int]]()
+  def partitionTokens(n: Int): Array[Int] =
+    tokenCache.computeIfAbsent(n, { n =>
+      val tokens = new Array[Int](n)
+      val found = new Array[Boolean](n)
+      var remaining = n
+      var t = 0
+      while (remaining > 0) {
+        val p = math.floorMod(
+          org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(t, 42), n)
+        if (!found(p)) { found(p) = true; tokens(p) = t; remaining -= 1 }
+        t += 1
+      }
+      tokens
+    })
 
   /** Stable salt — same function driver-, executor- and oracle-side.
     * A base-131 polynomial over the first FOUR hex chars of md5(url),

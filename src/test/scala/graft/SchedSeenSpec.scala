@@ -125,6 +125,36 @@ class SchedSeenSpec extends SparkSpec {
     assert(probed2 == probed)
   }
 
+  test("scheduler places each (host,salt) queue on its computed partition — uniform") {
+    // the token trick must route queue (host, salt) to exactly
+    // pmod(xxhash64(host)+salt, n); with uniform salts the fullest
+    // partition stays within a few percent of the mean
+    val s = spark; import s.implicits._
+    import graft.sched.Scheduler
+    val n = s.sessionState.conf.numShufflePartitions
+    val tokens = Scheduler.partitionTokens(n)
+    tokens.zipWithIndex.foreach { case (t, p) =>
+      assert(math.floorMod(
+        org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(t, 42), n) == p)
+    }
+    val in = s.range(200000).select(
+      concat(lit("https://h/x"), col("id")).as("url"), lit("h").as("host"),
+      col("id").as("priority"), lit("").as("tiebreak"))
+    val out = Scheduler.assignVirtualTicksCols(in, 256, 4, 300L)
+    val perPart = out.toDF().mapPartitions { it =>
+      var c = 0L; var salts = Set.empty[Int]
+      val saltIdx = 4 // url, host, priority, tiebreak, salt, ...
+      it.foreach { r => c += 1; salts += r.getInt(saltIdx) }
+      if (c == 0) Iterator.empty else Iterator((c, salts.size))
+    }.collect()
+    // every salt's rows land in ONE partition (rank correctness)...
+    assert(perPart.map(_._2).sum == 256, "each (host,salt) queue in exactly one partition")
+    // ...and the fullest partition is within 15% of the mean
+    val counts = perPart.map(_._1)
+    val maxOverMean = counts.max.toDouble * counts.length / counts.sum
+    assert(maxOverMean < 1.15, s"partition skew $maxOverMean")
+  }
+
   test("saltOf is stable and bounded") {
     val urls = Gen.listOfN(50, Gen.alphaNumStr).sample.get
     urls.foreach { u =>
