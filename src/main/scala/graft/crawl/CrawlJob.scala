@@ -46,7 +46,12 @@ object CrawlJob {
                                      // to +3 (the API lies about totals)
       overshootEmptyLimit: Int = 2,  // O4: past-end soft stop after 2
                                      // consecutive empty pages
-      saltCount: Int = 8,            // ST2 hot-host salt fan-out
+      // ST2 hot-host salt fan-out. SIZING RULE: the politeness/fetch
+      // leg's parallelism is bounded by the number of (host, salt)
+      // queues, so for a single-hot-host workload set
+      // saltCount ≳ total cluster cores (the bench uses 256 for 32
+      // threads); this default suits tests, not a big cluster.
+      saltCount: Int = 8,
       tokensPerTick: Int = 4,        // ST1 budget per (host,salt) per tick
       ticksPerRound: Int = 8,        // politeness ticks per round
       tickMs: Long = 300L,           // reference politeness delay (:331)
