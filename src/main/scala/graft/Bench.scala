@@ -166,13 +166,37 @@ object BenchLevel {
     val Array(level, parts, n, reps) = args.map(_.toLong)
     val s = Bench.session(level.toInt, parts.toInt)
     ReplayBench.run(s, n) // discard: JIT/heap warm-up inside this JVM
+    cpuCanary() // JIT the canary loop too
     (1 to reps.toInt).foreach { _ =>
-      val p = ReplayBench.run(s, n)
+      val canary = cpuCanary()
+      val p0 = ReplayBench.run(s, n)
+      // the canary rides the emission as a pseudo-stage, so every
+      // reading carries its own box-state evidence
+      val p = p0.copy(stageSec = p0.stageSec + ("cpu_canary" -> canary))
       val stages = p.stageSec.map { case (k, v) => f"stage:$k=$v%.3f" }.mkString(" ")
       println(f"[benchlevel] urls=${p.urlsSeen} scheduled=${p.scheduled} " +
         f"fetched=${p.fetched} spans=${p.spans} wall=${p.wallSec}%.3f $stages")
     }
     s.stop()
+  }
+
+  /** Fixed single-thread CPU probe (~0.2 s nominal): 2^27 xorshift64
+    * steps. A loaded box inflates this the same way it inflates the
+    * measurement, so each emitted reading carries contention evidence
+    * — an external reader can discount readings whose canary is far
+    * off the quiet-box nominal instead of trusting a bare efficiency
+    * number.
+    */
+  def cpuCanary(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9e3779b97f4a7c15L
+    var i = 0
+    while (i < (1 << 27)) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    if (x == 42L) println("") // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e9
   }
 
   /** Spawn a level child: same classpath and JVM flags as this JVM,
