@@ -152,6 +152,60 @@ object DedupOps {
       .distinct()
   }
 
+  /** Connected components over a near-dup pair graph: every id gets
+    * `cluster_rep` = the minimum id reachable through the pairs — the
+    * deterministic cluster representative. A training-data dedup
+    * keeps exactly the rows with `id == cluster_rep` (one survivor
+    * per duplicate class), which is the step that turns PAIR output
+    * (jaccard / LSH / simhash / cosine) into droppable rows.
+    *
+    * Algorithm: min-label propagation with POINTER JUMPING — each
+    * round every node takes the min label over itself and its
+    * neighbors, then follows its label's label (path halving), so
+    * convergence is O(log n) rounds even on long chains (plain
+    * propagation is O(diameter)). Each round is two equi-joins + one
+    * partial-aggregated groupBy on the label key — all
+    * shuffle-partitioned, nothing driver-side except the fixpoint
+    * check (one count per round, monotone: labels only decrease).
+    * Returns (idCol, cluster_rep).
+    */
+  def connectedComponents(ids: DataFrame, idCol: String, pairs: DataFrame,
+                          aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .unionByName(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = ids.select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // propagate: min over self + neighbors
+      val prop = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+        .unionByName(labels)
+        .groupBy("id").agg(min("label").as("label"))
+      // pointer jump: label := label(label) (path halving)
+      val next = prop.as("x")
+        .join(prop.select(col("id").as("lid"), col("label").as("llabel")),
+          col("x.label") === col("lid"), "left")
+        .select(col("x.id").as("id"),
+          coalesce(col("llabel"), col("x.label")).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.as("n")
+        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
+        .where(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as(idCol), col("label").as("cluster_rep"))
+  }
+
   /** 32-bit SimHash over word tokens. Bit j of the fingerprint is the
     * sign of Σ_tokens (2·parity_j(token) − 1), where parity_j(token)
     * = ascii(md5(token)[j]) mod 2 — one deterministic hash bit per

@@ -23,6 +23,21 @@ object PipelineQueries {
 
   /** Shared DuckDB SQL fragments (keep in sync with the ops). */
   private val tokSql = "regexp_extract_all(lower(text), '[a-z]+')"
+  private val minhashCtes =
+    """sh AS (
+      | SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+      | FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
+      |       FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents)
+      |       WHERE len(t) >= 3)),
+      |hashed AS (
+      | SELECT doc_id, h,
+      |  substr(md5(concat(CAST(h // 4 AS VARCHAR), ':', shingle)), (h % 4) * 8 + 1, 8) AS hv
+      | FROM (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS h FROM sh)),
+      |mh AS (SELECT doc_id, h, min(hv) AS mh FROM hashed GROUP BY doc_id, h),
+      |sigs AS (
+      | SELECT doc_id, CAST(h // 4 AS INT) AS band,
+      |  string_agg(concat(CAST(h AS VARCHAR), '=', mh), '|' ORDER BY concat(CAST(h AS VARCHAR), '=', mh)) AS sig
+      | FROM mh GROUP BY doc_id, CAST(h // 4 AS INT))""".stripMargin
   private val quantSql =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT))"
   private def dotSql(a: String, b: String) =
@@ -41,6 +56,16 @@ object PipelineQueries {
 
     "dedup_minhash_lsh" -> ((s, d) =>
       DedupOps.minhashLshPairs(docs(s, d), "doc_id", "text", n = 3, bands = 4, rows = 4)),
+
+    // Pair output → droppable rows: connected components over the LSH
+    // pair graph; keep exactly the cluster-representative row per
+    // duplicate class. O(log n) pointer-jumping rounds.
+    "dedup_clusters" -> ((s, d) => {
+      val dd = docs(s, d)
+      val pairs = DedupOps.minhashLshPairs(dd, "doc_id", "text", n = 3, bands = 4, rows = 4)
+      DedupOps.connectedComponents(dd.select("doc_id"), "doc_id", pairs, "id_a", "id_b")
+        .withColumn("keep", col("doc_id") === col("cluster_rep"))
+    }),
 
     "dedup_simhash" -> ((s, d) =>
       DedupOps.simhash(docs(s, d), "doc_id", "text")),
@@ -108,22 +133,23 @@ object PipelineQueries {
         |WHERE shared * 20 >= (x.n + y.n - shared) * 13""".stripMargin,
 
     "dedup_minhash_lsh" ->
-      """WITH sh AS (
-        | SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
-        | FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
-        |       FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents)
-        |       WHERE len(t) >= 3)),
-        |hashed AS (
-        | SELECT doc_id, h,
-        |  substr(md5(concat(CAST(h // 4 AS VARCHAR), ':', shingle)), (h % 4) * 8 + 1, 8) AS hv
-        | FROM (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS h FROM sh)),
-        |mh AS (SELECT doc_id, h, min(hv) AS mh FROM hashed GROUP BY doc_id, h),
-        |sigs AS (
-        | SELECT doc_id, CAST(h // 4 AS INT) AS band,
-        |  string_agg(concat(CAST(h AS VARCHAR), '=', mh), '|' ORDER BY concat(CAST(h AS VARCHAR), '=', mh)) AS sig
-        | FROM mh GROUP BY doc_id, CAST(h // 4 AS INT))
+      s"""WITH $minhashCtes
         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashCtes,
+        |prs AS (
+        | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+        |          UNION SELECT id_b, id_a FROM prs),
+        |reach(id, r) AS (
+        | SELECT doc_id, doc_id FROM documents
+        | UNION
+        | SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+        |SELECT id AS doc_id, min(r) AS cluster_rep, (id = min(r)) AS keep
+        |FROM reach GROUP BY id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH toks AS (

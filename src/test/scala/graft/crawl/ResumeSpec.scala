@@ -80,6 +80,33 @@ class ResumeSpec extends SparkSpec {
     assert(s1.parent == s0.id)
   }
 
+  test("failed commit settles every in-flight write, keeps prior snapshot, retry works") {
+    val root = Files.createTempDirectory("crawl-failcommit").toString
+    val log = new SnapshotLog(root)
+    log.init()
+    import spark.implicits._
+    val s0 = log.commit(Map.empty,
+      Map("t" -> Seq(("a", 1)).toDF("k", "v")), Map("round" -> "0", "done" -> "false"))
+    // a DataFrame whose evaluation throws executor-side
+    val poison = spark.range(3).map { i =>
+      if (i >= 0) throw new RuntimeException("poison write"); i
+    }.toDF("v")
+    val ok = Seq(("b", 2)).toDF("k", "v")
+    intercept[Exception] {
+      log.commit(Map("bad" -> poison, "t" -> ok), Map.empty,
+        Map("round" -> "1", "done" -> "false"))
+    }
+    // prior snapshot intact, no manifest advanced
+    assert(log.latest().get.id == s0.id)
+    assert(log.readTable(spark, log.latest().get, "t").get.count() == 1)
+    // a retry in the same JVM succeeds (no zombie writers racing it —
+    // commit awaits every in-flight future before rethrowing)
+    val s1 = log.commit(Map("t" -> ok), Map.empty,
+      Map("round" -> "1", "done" -> "true"))
+    assert(s1.id == s0.id + 1)
+    assert(log.readTable(spark, s1, "t").get.count() == 2)
+  }
+
   test("torn manifest write does not corrupt the log (atomic commit)") {
     val root = Files.createTempDirectory("crawl-torn").toString
     val log = new SnapshotLog(root)

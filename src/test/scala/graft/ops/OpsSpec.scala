@@ -36,6 +36,20 @@ class OpsSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("connected components: pair graph → min-id cluster reps (chains force jumping)") {
+    val s = spark; import s.implicits._
+    // component {1,2,3} (clique-ish), singleton 4, pair {5,6}, and a
+    // CHAIN 10-11-12-13-14-15 whose diameter exercises the pointer-
+    // jumping rounds (plain one-hop propagation needs 5 rounds)
+    val ids = (Seq(1L, 2L, 3L, 4L, 5L, 6L) ++ (10L to 15L)).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L)).toDF("id_a", "id_b")
+    val got = DedupOps.connectedComponents(ids, "doc_id", pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L, 15L -> 10L))
+  }
+
   test("minhash LSH candidates include identical docs") {
     val got = DedupOps.minhashLshPairs(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
