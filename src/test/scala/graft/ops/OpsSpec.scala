@@ -50,6 +50,29 @@ class OpsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L, 15L -> 10L))
   }
 
+  test("connected components == union-find oracle on random graphs (property)") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val n = 40 + trial * 20
+      val ids = (0L until n.toLong).toDF("doc_id")
+      val edges = Seq.fill(n / 2)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val pairs = edges.toDF("id_a", "id_b")
+      // union-find oracle with min-id representatives
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
+      }
+      val want = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val got = DedupOps.connectedComponents(ids, "doc_id", pairs, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial (n=$n)")
+    }
+  }
+
   test("minhash LSH candidates include identical docs") {
     val got = DedupOps.minhashLshPairs(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
