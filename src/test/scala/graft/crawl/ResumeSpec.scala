@@ -80,6 +80,39 @@ class ResumeSpec extends SparkSpec {
     assert(s1.parent == s0.id)
   }
 
+  test("DSv2 source: format('graft-snapshot') reads tables, time-travels, pushes down") {
+    val root = Files.createTempDirectory("crawl-dsv2").toString
+    val log = new SnapshotLog(root)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val s0 = log.commit(
+      deltas = Map("t" -> Seq(("a", 1), ("b", 5)).toDF("k", "v")),
+      replaced = Map.empty, props = Map("round" -> "0", "done" -> "false"))
+    log.commit(
+      deltas = Map("t" -> Seq(("c", 9)).toDF("k", "v")),
+      replaced = Map.empty, props = Map("round" -> "1", "done" -> "true"))
+    def read(opts: Map[String, String]) = {
+      val r = spark.read.format("graft-snapshot")
+        .option("root", root).option("table", "t")
+      opts.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }.load()
+    }
+    // latest sees both deltas; registered short name resolves
+    assert(read(Map.empty).count() == 3)
+    // time travel by snapshot id
+    assert(read(Map("asOf" -> s0.id.toString))
+      .select("k").collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+    // the scan is the NATIVE parquet scan: filters push down, columns prune
+    val q = read(Map.empty).where(col("v") > 3).select("k")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(v), GreaterThan(v,3)]"), plan)
+    assert("ReadSchema: [^\n]*".r.findFirstIn(plan).exists(s =>
+      s.contains("k") && !s.contains("v,")), s"column pruning expected:\n$plan")
+    assert(q.collect().map(_.getString(0)).sorted.toSeq == Seq("b", "c"))
+    // a missing table names the ones that exist
+    val e = intercept[IllegalArgumentException] { read(Map("table" -> "nope")).count() }
+    assert(e.getMessage.contains("absent"))
+  }
+
   test("failed commit settles every in-flight write, keeps prior snapshot, retry works") {
     val root = Files.createTempDirectory("crawl-failcommit").toString
     val log = new SnapshotLog(root)
