@@ -113,6 +113,31 @@ object CrawlJob {
   def seedListing(seeds: Seq[Seed]): Seq[ListingTask] =
     seeds.map(s => ListingTask(s.exchangeRank, s.exchange, s.epochDay, s.category, 1, 0))
 
+  /** Typed defaults for DocTask columns absent from an OLDER snapshot
+    * log's frontier table (the result payload rode onto the task in a
+    * later format): resume keeps working across versions — legacy
+    * rows fetch with an empty payload instead of failing analysis.
+    */
+  private val frontierColumnDefaults: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "arrivalSeq" -> lit(0L),
+    "company" -> lit(""),
+    "title" -> lit(""),
+    "timeMs" -> lit(-1L),
+    "timeStr" -> lit(null).cast("string"))
+
+  /** Schema-tolerant frontier read (see [[frontierColumnDefaults]]). */
+  private[crawl] def readFrontier(spark: SparkSession, log: SnapshotLog,
+                                  snap: SnapshotLog.Snapshot)
+      : org.apache.spark.sql.Dataset[DocTask] = {
+    import spark.implicits._
+    log.readTable(spark, snap, DocsFrontierTable).map { df0 =>
+      val present = df0.columns.toSet
+      frontierColumnDefaults.foldLeft(df0) { case (d, (name, default)) =>
+        if (present(name)) d else d.withColumn(name, default)
+      }.as[DocTask]
+    }.getOrElse(spark.emptyDataset[DocTask])
+  }
+
   /** O4 frontier-growth guards (cninfo_report_crawler.py:249-328).
     * Two distinct empty-page signals, exactly as the reference:
     *  - `rawRows == 0` (the API served an empty announcements list)
@@ -248,8 +273,7 @@ object CrawlJob {
     val listing = spark.createDataset(spark.sparkContext.parallelize(
       listingTasks,
       math.max(1, math.min(spark.sparkContext.defaultParallelism, listingTasks.size))))
-    val deferredPrev = log.readTable(spark, snap, DocsFrontierTable)
-      .map(_.as[DocTask]).getOrElse(spark.emptyDataset[DocTask])
+    val deferredPrev = readFrontier(spark, log, snap)
     mark("listing_read")
 
     // ---- 1. listing expansion (synthetic S1 scan) -------------------

@@ -66,27 +66,33 @@ object DedupOps {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, num: Int, den: Int, maxDf: Long = 0L): DataFrame = {
-    // ONE shingle lineage: the df-cap and the per-doc set size ride
-    // along as WINDOW columns instead of separate groupBy branches.
-    // A/B-measured against two "more scalable looking" rewrites at
-    // local[32] sf0.1 (cold/warm secs, fresh JVM):
-    //   windows (this)                               14.8 / 2.1
-    //   broadcast-anti heavy-hitter cap + size window 17.5 / 3.6
-    //   groupBy cap + groupBy sizes joined back       39.4 / 4.3
-    // The agg+join shapes pay a blocking broadcast build plus an extra
-    // full shuffle of the shingle set on id; windows pipeline per
-    // partition off the shared exchange. At the 100 TB point the
-    // dominant cost is the candidate self-join either way, and the
-    // window sorts are Spark's external (spilling) sort — so the
-    // measured winner is also scale-safe.
+    // df-CAP SHAPE (hot-shingle skew): the cap must never shuffle
+    // every occurrence of a stopword shingle into one task — a
+    // `count(*) over (partition by shingle)` window does exactly
+    // that (the rows the cap exists to kill are the ones that skew
+    // the cap's own stage). Instead the heavy-hitter set is found
+    // with a partial-aggregated groupBy(shingle) count — duplicates
+    // collapse MAP-SIDE, so the exchange carries one (shingle, n)
+    // row per shingle per map partition, bounded however hot the
+    // shingle — and dropped with an anti-join against that
+    // (small: ≤ totalRows/maxDf shingles can exceed the cap; left
+    // unhinted so AQE runtime-broadcasts it when it fits). The
+    // per-doc `__sz` stays a WINDOW: it partitions by doc id, which
+    // is doc-bounded by construction. A/B at local[32] sf0.1
+    // (cold/warm secs, fresh JVM): double-window 14.8/2.1,
+    // this shape 15.3/2.8, groupBy sizes joined back 39.4/4.3 —
+    // the ~0.7 s warm delta buys the unbounded-skew guarantee
+    // (see DedupSkewSpec: a shingle in 20% of all rows produces no
+    // single hot task here).
     import org.apache.spark.sql.expressions.Window
     val sh0 = shingles(docs, idCol, textCol, n)
     val capped =
       if (maxDf <= 0) sh0
-      else sh0
-        .withColumn("__df", count(lit(1)).over(Window.partitionBy("shingle")))
-        .where(col("__df") <= maxDf)
-        .drop("__df")
+      else {
+        val hot = sh0.groupBy("shingle").count().where(col("count") > maxDf)
+          .select("shingle")
+        sh0.join(hot, Seq("shingle"), "left_anti")
+      }
     val sh = capped
       .withColumn("__sz", count(lit(1)).over(Window.partitionBy(idCol)))
     val a = sh.select(col(idCol).as("id_a"), col("shingle"), col("__sz").as("size_a"))
@@ -168,30 +174,58 @@ object DedupOps {
     * shuffle-partitioned, nothing driver-side except the fixpoint
     * check (one count per round, monotone: labels only decrease).
     *
-    * Each round's result is `localCheckpoint`ed: the jump self-join
-    * embeds the previous round's LOGICAL PLAN twice, so without
-    * truncation the plan tree doubles every round and Catalyst
-    * analysis alone goes exponential (measured: a 60-node graph ran
-    * the driver at 2^rounds plan nodes and 20 GB of heap). On a real
-    * cluster a reliable `checkpoint` dir is the hardened variant
-    * (localCheckpoint state dies with an executor).
-    * Returns (idCol, cluster_rep).
+    * Each round's plan is TRUNCATED: the jump self-join embeds the
+    * previous round's LOGICAL PLAN twice, so without truncation the
+    * plan tree doubles every round and Catalyst analysis alone goes
+    * exponential (measured: a 60-node graph ran the driver at
+    * 2^rounds plan nodes and 20 GB of heap). Two truncation modes:
+    *  - default (checkpointDir = None): an RDD round-trip gives a
+    *    fresh LogicalRDD — zero I/O, but the cached lineage dies with
+    *    an executor (fine in local mode / tests);
+    *  - checkpointDir = Some(dir): `Dataset.checkpoint(eager)` into
+    *    reliable storage — the hardened cluster variant (a lost
+    *    executor recovers the round state from the checkpoint files
+    *    instead of recomputing the whole loop).
+    *
+    * Fixpoint detection is MONOTONE: labels only ever decrease (the
+    * min includes self, and the jump follows a min-of-mins), so the
+    * loop converged exactly when Σ label is unchanged — one
+    * partial-aggregated sum per round, no per-round join against the
+    * previous labels (the sum is computed in decimal(38,0): 10^10
+    * ids × 10^19 max label overflows int64).
+    *
+    * Returns (idCol, cluster_rep), PERSISTED (memory+disk) — callers
+    * that are done with it may `.unpersist()`. If `maxIter` rounds
+    * pass without convergence the labels are NOT a fixpoint; this
+    * logs a loud warning (pointer jumping converges in O(log n)
+    * rounds, so hitting 25 means something is pathological).
     */
   def connectedComponents(ids: DataFrame, idCol: String, pairs: DataFrame,
                           aCol: String, bCol: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          checkpointDir: Option[String] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    val spark = ids.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def truncated(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = false)
+      else spark.createDataFrame(df.rdd, df.schema)
     val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .unionByName(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = ids.select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("label").cast("decimal(38,0)"))).first()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       // propagate: min over self + neighbors. Both union children end
-      // in fresh Alias projections — after a localCheckpoint the raw
+      // in fresh Alias projections — after a checkpoint the raw
       // `labels` attributes would appear in BOTH children and break
       // the union's constraint rewriting (key-not-found in analysis).
       val prop = edges.join(labels, edges("src") === labels("id"))
@@ -204,61 +238,91 @@ object DedupOps {
           col("x.label") === col("lid"), "left")
         .select(col("x.id").as("id"),
           coalesce(col("llabel"), col("x.label")).as("label"))
-      // truncate the doubling plan (see doc): RDD round-trip gives a
-      // fresh LogicalRDD with brand-new attribute ids
-      val next = ids.sparkSession.createDataFrame(next0.rdd, next0.schema)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.as("n")
-        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
-        .where(col("label") =!= col("old")).count()
+      val next = truncated(next0).persist(StorageLevel.MEMORY_AND_DISK)
+      val newSum = labelSum(next) // materializes `next`; one narrow agg
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
       iter += 1
     }
+    if (!converged)
+      System.err.println(s"[graft] WARNING: connectedComponents hit maxIter=$maxIter " +
+        "without converging — cluster_rep labels are NOT a fixpoint")
     edges.unpersist()
     labels.select(col("id").as(idCol), col("label").as("cluster_rep"))
   }
 
-  /** 32-bit SimHash over word tokens. Bit j of the fingerprint is the
+  /** 64-bit SimHash over word tokens. Bit j of the fingerprint is the
     * sign of Σ_tokens (2·parity_j(token) − 1), where parity_j(token)
-    * = ascii(md5(token)[j]) mod 2 — one deterministic hash bit per
-    * hex char, identical in any engine with md5/ascii/substring.
-    * Returns (id, simhash: long).
+    * is bit j of the token's 64 hash bits: one bit per hex char
+    * (ascii mod 2) of TWO md5 digests — md5(token) for bits 0..31 and
+    * md5('b:' ‖ token) for bits 32..63 — identical in any engine with
+    * md5/ascii/substring. 64 bits (vs 32) is what makes the banded
+    * pair blocking scale: see [[simhashPairs]].
+    * Returns (id, simhash: long), the fingerprint in two's complement
+    * (bit 63 is the sign bit — engine-portable as plain int64).
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // ONE groupBy(id) with 32 sum() aggregates over the token rows —
-    // no 32× bit-index explode; map-side combine collapses each
-    // partition to one row per doc before the exchange.
+    // ONE groupBy(id) with 64 sum() aggregates over the token rows —
+    // no 64× bit-index explode; map-side combine collapses each
+    // partition to one row per doc before the exchange. Codegen
+    // subexpression elimination shares each digest across its 32
+    // aggregates, so it's 2 md5 calls per token row.
     val toks = docs.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
       .withColumn("h", md5(col("tok")))
-    val sumCols = (0 until 32).map(j =>
-      sum(ascii(substring(col("h"), j + 1, 1)) % 2 * 2 - 1).as(s"s$j"))
-    val fp = (0 until 32).map(j =>
-      when(col(s"s$j") > 0, 1L << j).otherwise(0L)).reduce(_ + _)
+      .withColumn("h2", md5(concat(lit("b:"), col("tok"))))
+    val sumCols = (0 until 64).map { j =>
+      val digit = if (j < 32) substring(col("h"), j + 1, 1)
+                  else substring(col("h2"), j - 32 + 1, 1)
+      sum(ascii(digit) % 2 * 2 - 1).as(s"s$j")
+    }
+    // Two's complement assembly: bits 0..62 contribute +2^j, bit 63
+    // contributes Long.MinValue. Partial sums stay in range by
+    // construction (≤ 2^63−1 before the sign bit lands), so this is
+    // ANSI-overflow-safe.
+    val fp = (0 until 64).map(j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _)
     toks.groupBy(col(idCol))
       .agg(sumCols.head, sumCols.tail: _*)
       .select(col(idCol), fp.as("simhash"))
   }
 
-  /** SimHash near-dup pairs within `maxHamming`, blocked on 4 byte
-    * bands (a pair within distance ≤ 3 of 32 bits must agree on at
-    * least one of 4 bytes — pigeonhole), verified with bit_count(xor).
+  /** SimHash near-dup pairs within `maxHamming`, blocked on 4
+    * 16-bit bands (a pair within distance ≤ 3 of 64 bits must agree
+    * on at least one of the 4 bands — pigeonhole), verified with
+    * bit_count(xor). Returns (id_a, id_b, hamming), id_a < id_b.
+    *
+    * Blocking-key cardinality vs corpus size: each band has 2^16
+    * values → 4·65,536 ≈ 2.6e5 blocking keys, and — unlike a fixed
+    * 8-bit banding, whose 1,024 total keys would put ~n/256 docs in
+    * every block — near-dup-free corpora spread over the bands'
+    * value space, so the expected block size is ~n/65,536 per band
+    * (~15k docs per block at 10^9 docs; the within-block self-join
+    * is quadratic only in that block size). Corpora above ~10^10
+    * docs should widen the fingerprint again (e.g. 128 bits,
+    * 4×32-bit bands for maxHamming ≤ 3) — the construction extends
+    * with more digests.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, s"4-band pigeonhole guarantees only maxHamming <= 3, got $maxHamming")
     val fp = simhash(docs, idCol, textCol)
+    // band value via AND-mask, not %: shiftright is an ARITHMETIC
+    // shift, so a negative fingerprint would give negative remainders
+    // under % while the mask keeps the low 16 bits exactly.
     val banded = fp.select(col(idCol), col("simhash"),
-        explode(sequence(lit(0), lit(3))).as("byte_i"))
-      .withColumn("byte_v", expr("shiftright(simhash, byte_i * 8)") % 256)
+        explode(sequence(lit(0), lit(3))).as("band_i"))
+      .withColumn("band_v",
+        expr("shiftright(simhash, band_i * 16)").bitwiseAND(lit(0xFFFFL)))
     val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
-      col("byte_i"), col("byte_v"))
+      col("band_i"), col("band_v"))
     val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
-      col("byte_i"), col("byte_v"))
-    a.join(b, Seq("byte_i", "byte_v"))
+      col("band_i"), col("band_v"))
+    a.join(b, Seq("band_i", "band_v"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }

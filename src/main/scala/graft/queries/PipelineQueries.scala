@@ -38,6 +38,28 @@ object PipelineQueries {
       | SELECT doc_id, CAST(h // 4 AS INT) AS band,
       |  string_agg(concat(CAST(h AS VARCHAR), '=', mh), '|' ORDER BY concat(CAST(h AS VARCHAR), '=', mh)) AS sig
       | FROM mh GROUP BY doc_id, CAST(h // 4 AS INT))""".stripMargin
+  /** 64-bit simhash restatement (keep in sync with DedupOps.simhash):
+    * bits 0..31 from md5(tok), 32..63 from md5('b:'||tok); two's
+    * complement assembly with bit 63 as the sign contribution.
+    */
+  private val simhash64Ctes =
+    s"""hx AS (
+      | SELECT doc_id, md5(tok) AS h, md5(concat('b:', tok)) AS h2
+      | FROM (SELECT doc_id, unnest($tokSql) AS tok FROM documents)),
+      |bits AS (
+      | SELECT doc_id, j,
+      |  CASE WHEN sum(ascii(substring(CASE WHEN j < 32 THEN h ELSE h2 END,
+      |                                (j % 32) + 1, 1)) % 2 * 2 - 1) > 0
+      |       THEN 1 ELSE 0 END AS bit
+      | FROM (SELECT doc_id, h, h2, unnest(generate_series(0, 63)) AS j FROM hx)
+      | GROUP BY doc_id, j),
+      |fp AS (
+      | SELECT doc_id,
+      |  CAST(sum(CASE WHEN j = 63 THEN CAST(bit AS BIGINT) * (-9223372036854775807 - 1)
+      |                ELSE CAST(bit AS BIGINT) << j END) AS BIGINT) AS simhash
+      | FROM bits GROUP BY doc_id)""".stripMargin
+  private val simhash64Sql =
+    s"WITH $simhash64Ctes SELECT doc_id, simhash FROM fp"
   private val quantSql =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT))"
   private def dotSql(a: String, b: String) =
@@ -69,6 +91,14 @@ object PipelineQueries {
 
     "dedup_simhash" -> ((s, d) =>
       DedupOps.simhash(docs(s, d), "doc_id", "text")),
+
+    // Banded pair generation over the 64-bit fingerprints (4×16-bit
+    // bands; pigeonhole-complete for hamming ≤ 3). The oracle is the
+    // stronger ALL-PAIRS restatement — blocking is an implementation
+    // detail the pigeonhole argument proves lossless, and the oracle
+    // match is exactly that proof executed.
+    "dedup_simhash_pairs" -> ((s, d) =>
+      DedupOps.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 3)),
 
     "dedup_embed_cosine" -> ((s, d) =>
       SimilarityOps.embeddingNearDupPairs(emb(s, d), "vec_id", "embedding", "label",
@@ -151,14 +181,15 @@ object PipelineQueries {
         |SELECT id AS doc_id, min(r) AS cluster_rep, (id = min(r)) AS keep
         |FROM reach GROUP BY id""".stripMargin,
 
-    "dedup_simhash" ->
-      s"""WITH toks AS (
-        | SELECT doc_id, md5(unnest($tokSql)) AS h FROM documents),
-        |bits AS (
-        | SELECT doc_id, j, CASE WHEN sum(ascii(substring(h, j + 1, 1)) % 2 * 2 - 1) > 0 THEN 1 ELSE 0 END AS bit
-        | FROM (SELECT doc_id, h, unnest(generate_series(0, 31)) AS j FROM toks)
-        | GROUP BY doc_id, j)
-        |SELECT doc_id, CAST(sum(CAST(bit AS BIGINT) << j) AS BIGINT) AS simhash FROM bits GROUP BY doc_id""".stripMargin,
+    "dedup_simhash" -> simhash64Sql,
+
+    "dedup_simhash_pairs" ->
+      s"""WITH $simhash64Ctes,
+        |p AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        | FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3""".stripMargin,
 
     "dedup_embed_cosine" ->
       s"""WITH q AS (SELECT vec_id, label, $quantSql AS qv FROM embeddings),

@@ -60,6 +60,32 @@ class ResumeSpec extends SparkSpec {
     assert(resumed.map(_.totals) == fullRounds.drop(2).map(_.totals))
   }
 
+  test("resume tolerates a legacy frontier schema (pre-payload DocTask)") {
+    // A snapshot log written BEFORE the result payload rode on the
+    // task: the frontier table lacks (arrivalSeq, company, title,
+    // timeMs, timeStr). Resume must analyze and run — legacy rows get
+    // typed defaults, not an AnalysisException.
+    val root = Files.createTempDirectory("crawl-legacy-frontier").toString
+    val log = new SnapshotLog(root)
+    log.init()
+    import spark.implicits._
+    val legacyFrontier = Seq(
+      (graft.gen.Fixtures.UrlBase + "19810/0-0001-abcd.pdf",
+        graft.gen.Fixtures.Host, 19810, "600001", 1, "k1"))
+      .toDF("url", "host", "announceEpochDay", "secCode", "pageDepth", "seenKey")
+    log.commit(
+      deltas = Map.empty,
+      replaced = Map(
+        CrawlJob.ListingTable -> spark.emptyDataset[graft.model.ListingTask].toDF(),
+        CrawlJob.DocsFrontierTable -> legacyFrontier),
+      props = Map("round" -> "0", "done" -> "false"))
+    val rounds = CrawlJob.run(spark, seeds, cfg, root)
+    assert(rounds.nonEmpty && rounds.last.docsPending == 0,
+      "legacy frontier must drain to completion")
+    val fetched = rounds.map(_.totals.fetched).sum + rounds.map(_.totals.invalid).sum
+    assert(fetched == 1, "the legacy task must be probed")
+  }
+
   test("SnapshotTable seam: SQL views over a snapshot + time travel by id") {
     val root = Files.createTempDirectory("crawl-views").toString
     val log: graft.snapshot.SnapshotTable = new SnapshotLog(root)
@@ -108,9 +134,58 @@ class ResumeSpec extends SparkSpec {
     assert("ReadSchema: [^\n]*".r.findFirstIn(plan).exists(s =>
       s.contains("k") && !s.contains("v,")), s"column pruning expected:\n$plan")
     assert(q.collect().map(_.getString(0)).sorted.toSeq == Seq("b", "c"))
-    // a missing table names the ones that exist
-    val e = intercept[IllegalArgumentException] { read(Map("table" -> "nope")).count() }
-    assert(e.getMessage.contains("absent"))
+    // a missing table errors descriptively at scan build (Spark may
+    // wrap the connector's IllegalArgumentException in an
+    // AnalysisException — check the message chain)
+    val e = intercept[Exception] { read(Map("table" -> "nope")).count() }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("absent")), chain(e).mkString(" | "))
+  }
+
+  test("DSv2 sink: append/overwrite through format('graft-snapshot') round-trip") {
+    val root = Files.createTempDirectory("crawl-dsv2w").toString
+    val log = new SnapshotLog(root)
+    import spark.implicits._
+    def write(df: org.apache.spark.sql.DataFrame, table: String, mode: String): Unit =
+      df.write.format("graft-snapshot")
+        .option("root", root).option("table", table).mode(mode).save()
+    def read(table: String) = spark.read.format("graft-snapshot")
+      .option("root", root).option("table", table).load()
+
+    // append to a BRAND-NEW log: first commit creates snapshot 0
+    write(Seq(("a", 1), ("b", 2)).toDF("k", "v"), "t", "append")
+    val s0 = log.latest().get
+    assert(s0.id == 0L && s0.props("writer") == "graft-snapshot-dsv2")
+    assert(read("t").collect().map(r => (r.getString(0), r.getInt(1))).sorted.toSeq ==
+      Seq(("a", 1), ("b", 2)))
+
+    // append = delta commit: both dirs compose the table
+    write(Seq(("c", 3)).toDF("k", "v"), "t", "append")
+    assert(log.latest().get.tables("t").size == 2)
+    assert(read("t").count() == 3)
+    // the Scala API reads the same bytes (same protocol underneath)
+    assert(log.readTable(spark, log.latest().get, "t").get.count() == 3)
+
+    // overwrite = replace commit: one dir, old data gone
+    write(Seq(("z", 9)).toDF("k", "v"), "t", "overwrite")
+    assert(log.latest().get.tables("t").size == 1)
+    assert(read("t").collect().map(_.getString(0)).toSeq == Seq("z"))
+
+    // a second table coexists; writes interop with Scala-API commits
+    write(Seq(7L).toDF("n"), "u", "append")
+    log.commit(Map("u" -> Seq(8L).toDF("n")), Map.empty, Map("round" -> "x"))
+    assert(read("u").collect().map(_.getLong(0)).sorted.toSeq == Seq(7L, 8L))
+    assert(read("t").collect().map(_.getString(0)).toSeq == Seq("z"))
+
+    // writing into the past is rejected: commits only advance the head
+    val e = intercept[Exception] {
+      write(Seq(1L).toDF("n"), "u", "append") // warm the path — then asOf:
+      Seq(1L).toDF("n").write.format("graft-snapshot")
+        .option("root", root).option("table", "u").option("asOf", "0")
+        .mode("append").save()
+    }
+    assert(e.getMessage.contains("asOf"), e.getMessage)
   }
 
   test("failed commit settles every in-flight write, keeps prior snapshot, retry works") {
