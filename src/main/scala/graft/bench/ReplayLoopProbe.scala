@@ -21,8 +21,13 @@ object ReplayLoopProbe {
         sys.env.getOrElse("SPARK_GRAFT_PROBE_AQE", "true"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_PROBE_NET=md5 probes the oracled crawl_replay query
+    // config (Md5Net + its budget); default probes the fixture net.
+    val md5 = sys.env.get("SPARK_GRAFT_PROBE_NET").contains("md5")
+    val net: graft.crawl.CrawlNet =
+      if (md5) graft.crawl.Md5Net else graft.crawl.FixtureNet
     val cfg = graft.crawl.CrawlJob.Config(
-      saltCount = 4, tokensPerTick = 16, ticksPerRound = 8, bloomP = 8,
+      saltCount = 4, tokensPerTick = if (md5) 4 else 16, ticksPerRound = 8, bloomP = 8,
       roundShufflePartitions = 8, roundWholeStageCodegen = false,
       roundAdaptive = false)
     val seeds = graft.crawl.CrawlJob.expandSeeds(19830, 19831)
@@ -43,9 +48,11 @@ object ReplayLoopProbe {
     }
     val t00 = System.nanoTime()
     var round = 0
+    var carry = graft.crawl.CrawlJob.Carry()
     while (snap.props("done") != "true" && round < cfg.maxRounds) {
       val t0 = System.nanoTime()
-      val r = graft.crawl.CrawlJob.runRound(s, cfg, log, snap, round)
+      val r = graft.crawl.CrawlJob.runRound(s, cfg, log, snap, round, net, carry)
+      carry = r.nextCarry
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[loopprobe] round=$round sec=$sec%.2f urls=${r.totals.urlsSeen} " +
         f"fetched=${r.totals.fetched} deferred=${r.totals.deferred} " +

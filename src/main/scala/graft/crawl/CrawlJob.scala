@@ -99,8 +99,20 @@ object CrawlJob {
                           newUnique: Long, robotsDenied: Long, fetched: Long,
                           invalid: Long, deferred: Long)
 
+  /** Driver-side state carried between rounds of one run() loop —
+    * all COUNTER-SIZED: the listing (O(streams) metadata) and, on the
+    * broadcast probe regime only, the collected sketch map (≤
+    * sketchBroadcastMaxBytes by the regime's definition). Both are
+    * byte-identical to what a re-read of the committed snapshot would
+    * return, so a resume (carry empty) is indistinguishable — the
+    * carry only skips the per-round parquet read-back.
+    */
+  final case class Carry(listing: Option[Seq[ListingTask]] = None,
+                         sketch: Option[Map[Int, Array[Long]]] = None)
+
   final case class RoundResult(round: Int, totals: Totals, snapshotId: Long,
-                               listingPending: Long, docsPending: Long)
+                               listingPending: Long, docsPending: Long,
+                               nextCarry: Carry = Carry())
 
   val ListingTable = "frontier_listing"
   val DocsFrontierTable = "frontier_docs"
@@ -191,8 +203,12 @@ object CrawlJob {
 
   private def bloomParams(cfg: Config) = SeenFilter.BloomParams(cfg.bloomBits, cfg.bloomHashes)
 
-  /** Run (or resume) the crawl to frontier exhaustion. */
-  def run(spark: SparkSession, seeds: Seq[Seed], cfg: Config, snapshotRoot: String)
+  /** Run (or resume) the crawl to frontier exhaustion. `net` is the
+    * crawl's network edge (see [[CrawlNet]]) — the default is the
+    * splitmix64 fixture corpus; [[Md5Net]] is the SQL-restatable one.
+    */
+  def run(spark: SparkSession, seeds: Seq[Seed], cfg: Config, snapshotRoot: String,
+          net: CrawlNet = FixtureNet)
       : Seq[RoundResult] = {
     import spark.implicits._
     val log = new SnapshotLog(snapshotRoot)
@@ -209,10 +225,12 @@ object CrawlJob {
 
     val results = Seq.newBuilder[RoundResult]
     var round = snap.props("round").toInt + 1
+    var carry = Carry() // first round reads the snapshot (resume path)
     while (snap.props("done") != "true" && round < cfg.maxRounds) {
-      val r = runRound(spark, cfg, log, snap, round)
+      val r = runRound(spark, cfg, log, snap, round, net, carry)
       results += r
       snap = log.read(r.snapshotId)
+      carry = r.nextCarry
       round += 1
     }
     results.result()
@@ -222,19 +240,21 @@ object CrawlJob {
     * schedule under the politeness budget, fetch, commit.
     */
   def runRound(spark: SparkSession, cfg: Config, log: SnapshotLog,
-               snap: SnapshotLog.Snapshot, round: Int): RoundResult = {
+               snap: SnapshotLog.Snapshot, round: Int,
+               net: CrawlNet = FixtureNet,
+               carry: Carry = Carry()): RoundResult = {
     if (cfg.roundShufflePartitions > 0 || !cfg.roundWholeStageCodegen ||
         !cfg.roundAdaptive) {
       val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
       val prevCodegen = spark.conf.get("spark.sql.codegen.wholeStage")
       val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-      try runRoundInner(spark, cfg, log, snap, round)
+      try runRoundInner(spark, cfg, log, snap, round, net, carry)
       finally {
         spark.conf.set("spark.sql.shuffle.partitions", prevParts)
         spark.conf.set("spark.sql.codegen.wholeStage", prevCodegen)
         spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       }
-    } else runRoundInner(spark, cfg, log, snap, round)
+    } else runRoundInner(spark, cfg, log, snap, round, net, carry)
   }
 
   /** Env-gated round tracing (SPARK_GRAFT_ROUND_DEBUG=1): stderr
@@ -243,7 +263,8 @@ object CrawlJob {
   private val roundDebug = sys.env.get("SPARK_GRAFT_ROUND_DEBUG").contains("1")
 
   private def runRoundInner(spark: SparkSession, cfg: Config, log: SnapshotLog,
-                            snap: SnapshotLog.Snapshot, round: Int): RoundResult = {
+                            snap: SnapshotLog.Snapshot, round: Int,
+                            net: CrawlNet, carry: Carry): RoundResult = {
     import spark.implicits._
     var tMark = System.nanoTime()
     def mark(what: String): Unit = if (roundDebug) {
@@ -268,12 +289,23 @@ object CrawlJob {
     // counter-sized decision measured 3x the round's fixed cost. The
     // page EXPANSION below (the O(announcements) fan-out) stays fully
     // distributed.
-    val listingTasks: Seq[ListingTask] = log.readTable(spark, snap, ListingTable)
-      .map(_.as[ListingTask].collect().toSeq).getOrElse(Seq.empty)
+    val listingTasks: Seq[ListingTask] = carry.listing.getOrElse(
+      log.readTable(spark, snap, ListingTable)
+        .map(_.as[ListingTask].collect().toSeq).getOrElse(Seq.empty))
+    // partition cap: a budget-bounded round sizes its NARROW lineage
+    // to the round override too — parallelize at defaultParallelism
+    // would pay a 32-task wave per tiny stage
+    val narrowParts =
+      if (cfg.roundShufflePartitions > 0) cfg.roundShufflePartitions
+      else spark.sparkContext.defaultParallelism
     val listing = spark.createDataset(spark.sparkContext.parallelize(
-      listingTasks,
-      math.max(1, math.min(spark.sparkContext.defaultParallelism, listingTasks.size))))
-    val deferredPrev = readFrontier(spark, log, snap)
+      listingTasks, math.max(1, math.min(narrowParts, listingTasks.size))))
+    // the frontier read is skipped when the committed props already
+    // say it is empty (the common case without deferral) — one fewer
+    // parquet listing+scan per round
+    val deferredPrev =
+      if (snap.props.get("deferred").contains("0")) spark.emptyDataset[DocTask]
+      else readFrontier(spark, log, snap)
     mark("listing_read")
 
     // ---- 1. listing expansion (synthetic S1 scan) -------------------
@@ -281,13 +313,12 @@ object CrawlJob {
     // rows are generated executor-side from the pure generator. Page
     // GROWTH is decided after dedup (step 9b).
     val anns = listing.flatMap { t =>
-      Fixtures.announcementsFor(t).map { a =>
+      net.announcementsFor(t).map { a =>
         (t.exchangeRank, t.epochDay, t.category, a.secCode, a.secName, a.title,
           a.timeMs, a.timeStr, a.adjunctUrl, a.arrivalSeq, t.page)
       }
     }.toDF("exchange_rank", "epoch_day", "category", "sec_code_raw", "company",
         "title", "time_ms", "time_str", "adjunct_url", "arrival_seq", "page_depth")
-      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // ---- 2. filters F1/F2 + canonicalization ------------------------
     val yearsRe = cfg.targetYears.mkString("|")
@@ -298,7 +329,7 @@ object CrawlJob {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val kept = candidates.where(col("__passes"))
-      .withColumn("url", concat(lit(Fixtures.UrlBase), col("adjunct_url")))
+      .withColumn("url", concat(lit(net.urlBase), col("adjunct_url")))
       .withColumn("seen_key", concat_ws("",
         col("sec_code_raw"), col("title"), col("time_ms"), col("time_str"), col("adjunct_url")))
 
@@ -306,6 +337,7 @@ object CrawlJob {
     // map-side combine (not a window: dup-heavy batches shrink
     // before the exchange)
     val batchFirst = SeenFilter.firstWinsAgg(kept, Seq("seen_key"), "arrival_seq")
+    mark("pb_filters")
 
     // ---- 4. bloom pre-filter + exact anti-join vs seen --------------
     // Size-adaptive probe (see Config.sketchBroadcastMaxBytes): small
@@ -313,21 +345,32 @@ object CrawlJob {
     // stages); large → distributed cogroup on bloom_pid (no sketch
     // bytes through the driver, each task holds one pid's sketch).
     val seenPrev = log.readTable(spark, snap, SeenTable)
-    val sketchPrev = log.readTable(spark, snap, SketchTable)
+    lazy val sketchPrev = log.readTable(spark, snap, SketchTable)
     val sketchDirs = snap.tables.getOrElse(SketchTable, Nil).size
     val sketchStateBytes =
       sketchDirs.toLong * cfg.bloomP * (cfg.bloomBits / 8)
-    val probed = sketchPrev
-      .map { skDf =>
-        if (sketchStateBytes <= cfg.sketchBroadcastMaxBytes)
-          SeenFilter.probeBloom(batchFirst, "seen_key", cfg.bloomP, params,
-            SeenFilter.collectSketches(SeenFilter.mergeSketches(skDf)))
-        else
-          SeenFilter.probeBloomDistributed(batchFirst, "seen_key",
-            cfg.bloomP, params, skDf)
-      }
-      .getOrElse(batchFirst.withColumn("might_be_seen", lit(false)))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val broadcastRegime = sketchStateBytes <= cfg.sketchBroadcastMaxBytes
+    // Broadcast regime: the collected sketch map rides the Carry, so
+    // steady-state rounds probe with ZERO sketch I/O or jobs; a
+    // resume (no carry) collects it from the snapshot once. The
+    // distributed regime never collects — unchanged.
+    val sketchMap: Option[Map[Int, Array[Long]]] =
+      if (!broadcastRegime) None
+      else carry.sketch.orElse(
+        sketchPrev.map(skDf =>
+          SeenFilter.collectSketches(SeenFilter.mergeSketches(skDf))))
+    val probed = (sketchMap match {
+      case Some(m) =>
+        SeenFilter.probeBloom(batchFirst, "seen_key", cfg.bloomP, params, m)
+      case None =>
+        sketchPrev match {
+          case Some(skDf) =>
+            SeenFilter.probeBloomDistributed(batchFirst, "seen_key",
+              cfg.bloomP, params, skDf)
+          case None =>
+            batchFirst.withColumn("might_be_seen", lit(false))
+        }
+    }).persist(StorageLevel.MEMORY_AND_DISK)
     val definitelyNew = probed.where(!col("might_be_seen")).drop("might_be_seen")
     val possibleDup = probed.where(col("might_be_seen")).drop("might_be_seen")
     val confirmedNew = seenPrev match {
@@ -336,6 +379,7 @@ object CrawlJob {
     }
     val newUniqueDf = definitelyNew.unionByName(confirmedNew)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    mark("pb_seen")
 
     // ---- 5. build this round's sketch delta over new keys ----------
     val sketchDelta = SeenFilter.buildPartitionedBloom(
@@ -349,7 +393,7 @@ object CrawlJob {
     // nothing in the results table.
     val newTasks = newUniqueDf.select(
       col("url"),
-      lit(Fixtures.Host).as("host"),
+      lit(net.host).as("host"),
       col("epoch_day").as("announceEpochDay"),
       col("sec_code_raw").as("secCode"),
       col("page_depth").as("pageDepth"),
@@ -360,9 +404,8 @@ object CrawlJob {
       col("time_str").as("timeStr"))
       .as[DocTask]
     val allTasks = newTasks.unionByName(deferredPrev).toDF()
-      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val rulesDf = Fixtures.robotsRules.toDF("host", "path_prefix", "allow")
+    val rulesDf = net.robotsRules.toDF("host", "path_prefix", "allow")
     val gated = Scheduler.robotsGate(allTasks, rulesDf)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val denied = gated.where(col("robots_denied"))
@@ -382,6 +425,7 @@ object CrawlJob {
     val assigned = Scheduler
       .assignVirtualTicksCols(schedIn, cfg.saltCount, cfg.tokensPerTick, cfg.tickMs)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    mark("pb_sched")
     val docTaskCols = Seq("url", "host", "announceEpochDay", "secCode",
       "pageDepth", "seenKey", "arrivalSeq", "company", "title", "timeMs", "timeStr")
     val toFetch = assigned.where(col("tick_index") < cfg.ticksPerRound)
@@ -403,9 +447,9 @@ object CrawlJob {
     // `as[DocTask].map` round-trip here costs a full object
     // (de)serialization of every task row and measured ~2x the
     // round's fixed cost with per-round codegen off.
-    val probeStatus = udf(Fixtures.fetchStatus _)
-    val probeCt = udf(Fixtures.fetchContentType _)
-    val probeMagic = udf(Fixtures.fetchMagic _)
+    val probeStatus = udf(net.fetchStatus _)
+    val probeCt = udf(net.fetchContentType _)
+    val probeMagic = udf(net.fetchMagic _)
     val probedFetch = toFetch
       .select("url", "arrivalSeq", "secCode", "company", "title", "timeMs", "timeStr")
       .withColumn("status", probeStatus(col("url")))
@@ -425,10 +469,11 @@ object CrawlJob {
       col("url").as("pdf_url"))
     val fetchedDocs = validFetch.select("url").as[String]
       .map { url =>
-        val d = Fixtures.docFor(url)
+        val d = net.docFor(url)
         (d.doc_id, d.spans, round)
       }.toDF("doc_id", "spans", "fetch_round")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    mark("pb_fetch")
 
     // ---- 9. per-partition lineage metrics ----------------------------
     // ONE action materializes every persisted stage and yields every
@@ -494,9 +539,9 @@ object CrawlJob {
       }.toMap
     val nextTasks: Seq[ListingTask] = listingTasks.flatMap { t =>
       nextListingTask(t,
-        Fixtures.rowsOnPage(t.exchangeRank, t.epochDay, t.category, t.page),
+        net.rowsOnPage(t.exchangeRank, t.epochDay, t.category, t.page),
         keptByStream.getOrElse((t.exchangeRank, t.epochDay, t.category), 0L),
-        Fixtures.totalPages(t.exchangeRank, t.epochDay, t.category), cfg)
+        net.totalPages(t.exchangeRank, t.epochDay, t.category), cfg)
     }
     val listingPending = nextTasks.size.toLong
 
@@ -505,31 +550,61 @@ object CrawlJob {
     val totals = Totals(urlsSeenCnt, filtered, dupDropped, newUnique,
       deniedCnt, fetchedCnt, invalidCnt, deferredCnt)
     // Sketch-table compaction: delta dirs accumulate one per round;
-    // once `sketchCompactEvery` exist, OR-merge them executor-side
-    // (one row per pid) and re-commit as a full rewrite, so reads stay
-    // O(P) rows however long the crawl runs.
-    val compactSketch =
-      sketchPrev.isDefined && sketchDirs + 1 >= cfg.sketchCompactEvery
+    // once `sketchCompactEvery` exist, OR-merge them (one row per
+    // pid) and re-commit as a full rewrite, so reads stay O(P) rows
+    // however long the crawl runs.
+    val compactSketch = sketchDirs > 0 && sketchDirs + 1 >= cfg.sketchCompactEvery
+    // Broadcast regime: the round's sketch delta is COLLECTED once
+    // (one small job over the cached new keys — the map also feeds
+    // the next round's carry) and committed as a locally-built frame,
+    // so the commit runs zero distributed sketch jobs. Distributed
+    // regime: the delta/compaction stay fully executor-side.
+    val deltaBits: Option[Map[Int, Array[Long]]] =
+      if (broadcastRegime && newUnique > 0)
+        Some(SeenFilter.collectSketches(sketchDelta))
+      else None
+    def orMerge(a: Map[Int, Array[Long]], b: Map[Int, Array[Long]]): Map[Int, Array[Long]] =
+      (a.keySet ++ b.keySet).iterator.map { pid =>
+        (a.get(pid), b.get(pid)) match {
+          case (Some(x), Some(y)) =>
+            val m = x.clone(); var i = 0; while (i < m.length) { m(i) |= y(i); i += 1 }
+            pid -> m
+          case (x, y) => pid -> x.orElse(y).get
+        }
+      }.toMap
+    val nextSketchMap: Option[Map[Int, Array[Long]]] =
+      if (!broadcastRegime) None
+      else Some(orMerge(sketchMap.getOrElse(Map.empty), deltaBits.getOrElse(Map.empty)))
+    def localSketchDf(m: Map[Int, Array[Long]]): DataFrame =
+      m.toSeq.sortBy(_._1).map { case (pid, bits) => (pid.toLong, bits) }
+        .toDF("bloom_pid", "bits")
     // Deltas known (from the counters) to be empty are omitted — no
     // wasted write jobs, no empty dirs in the manifest. Small round
     // tables coalesce to a few files (they are counter/frontier-sized;
     // the payload-bearing docs table keeps its write parallelism).
     def small(df: DataFrame): DataFrame = df.coalesce(cfg.commitFiles)
+    // the metrics rows were already collected for the totals — commit
+    // them as a LOCAL one-partition frame instead of re-running a
+    // distributed write over the cached branches
+    val metricsLocal = spark.createDataFrame(
+      spark.sparkContext.parallelize(metricsRows.toSeq, 1), metricsDelta.schema)
     val deltas = Seq(
       (newUnique > 0, SeenTable,
         small(newUniqueDf.select("seen_key", "url", "arrival_seq"))),
       (fetchedCnt > 0, ResultsTable, small(resultsDelta)),
       (fetchedCnt > 0, DocsTable, fetchedDocs),
-      (true, MetricsTable, small(metricsDelta)),
-      (!compactSketch && newUnique > 0, SketchTable, sketchDelta))
+      (true, MetricsTable, metricsLocal),
+      (!compactSketch && newUnique > 0, SketchTable,
+        deltaBits.map(localSketchDf).getOrElse(sketchDelta)))
       .collect { case (nonEmpty, name, df) if nonEmpty => name -> df }
       .toMap
     val replaced = Map(
       ListingTable -> small(nextTasks.toDS().toDF()),
       DocsFrontierTable -> small(deferredNow)) ++
       (if (compactSketch)
-         Map(SketchTable -> SeenFilter.mergeSketches(
-           sketchPrev.get.unionByName(sketchDelta)))
+         Map(SketchTable ->
+           (nextSketchMap.map(localSketchDf).getOrElse(
+             SeenFilter.mergeSketches(sketchPrev.get.unionByName(sketchDelta)))))
        else Map.empty[String, DataFrame])
     mark("growth")
     val next = log.commit(
@@ -543,10 +618,11 @@ object CrawlJob {
         "invalid" -> invalidCnt.toString, "deferred" -> deferredCnt.toString))
 
     mark("commit")
-    Seq(anns, candidates, probed, newUniqueDf, allTasks, gated, assigned,
+    Seq(candidates, probed, newUniqueDf, gated, assigned,
       deferredNow, probedFetch, fetchedDocs, metricsDelta)
       .foreach(_.unpersist())
-    RoundResult(round, totals, next.id, listingPending, deferredCnt)
+    RoundResult(round, totals, next.id, listingPending, deferredCnt,
+      Carry(Some(nextTasks), nextSketchMap))
   }
 
   /** Final stage-1 output: the reference's postprocess over the

@@ -141,19 +141,25 @@ object CrawlQueries {
       graft.ops.MultimodalOps.sampleFrames(
         graft.ops.MultimodalOps.deriveMedia(Tables.load(s, d, "documents")))),
 
-    // End-to-end frontier replay (rows-only: the stateful round loop
-    // is not one SQL statement; its semantics are golden-tested in
-    // ScalaTest against the collections oracle). Runs the full crawl
-    // to exhaustion in a temp snapshot dir and returns the final
-    // postprocessed report.
+    // End-to-end frontier replay, ORACLED: the full multi-round crawl
+    // loop (listing expansion, O4 stops, F1/F2, bloom+exact first-wins
+    // seen set, robots gate, politeness scheduling with deferral,
+    // validation, snapshot commits, final postprocess) runs to
+    // exhaustion over the Md5Net corpus — whose every draw is
+    // md5-restatable, so the whole fixpoint has the closed form in
+    // the crawl_replay oracle below (see Md5Net's scaladoc for why
+    // the crawled-page set is SQL-expressible). The splitmix64
+    // fixture corpus variant of the same loop stays golden-tested in
+    // ScalaTest (CrawlReplaySpec/ResumeSpec) and is the bench's
+    // north-star workload.
     "crawl_replay" -> ((s, _) => {
       val cfg = graft.crawl.CrawlJob.Config(
-        saltCount = 4, tokensPerTick = 16, ticksPerRound = 8, bloomP = 8,
+        saltCount = 4, tokensPerTick = 4, ticksPerRound = 8, bloomP = 8,
         roundShufflePartitions = 8, roundWholeStageCodegen = false,
         roundAdaptive = false)
       val seeds = graft.crawl.CrawlJob.expandSeeds(19830, 19831)
       val root = java.nio.file.Files.createTempDirectory("crawl-replay-q").toString
-      graft.crawl.CrawlJob.run(s, seeds, cfg, root)
+      graft.crawl.CrawlJob.run(s, seeds, cfg, root, graft.crawl.Md5Net)
       graft.crawl.CrawlJob.finalReport(s, new graft.snapshot.SnapshotLog(root), cfg)
     }),
 
@@ -368,6 +374,113 @@ object CrawlQueries {
 
 
   val oracles: Map[String, String] = Map(
+    // The END-TO-END replay closed form (see Md5Net): which pages each
+    // stream serves is structural (p ≤ min(firstEmpty−1, tp+3)), the
+    // global first-wins winner is min (page, arrival_seq) because live
+    // streams crawl in page-lockstep, and every other stage (filters,
+    // robots, validation, postprocess) is stateless — so the whole
+    // multi-round crawl is one SQL chain over md5 draws.
+    "crawl_replay" ->
+      """WITH streams AS (
+        | SELECT ex, day, c.cat, c.catidx
+        | FROM (SELECT unnest(generate_series(0, 4)) AS ex),
+        |      (SELECT unnest(generate_series(19830, 19831)) AS day),
+        |      (VALUES ('annual', 0), ('semiannual', 1)) c(cat, catidx)),
+        |sp AS (
+        | SELECT *, ascii(substr(md5(concat('tp:', ex, ':', day, ':', cat)), 1, 1)) % 3 + 1 AS tp
+        | FROM streams),
+        |pages AS (
+        | SELECT sp.*, p, md5(concat('rp:', ex, ':', day, ':', cat, ':', p)) AS mp
+        | FROM sp, (SELECT unnest(generate_series(1, 6)) AS p)
+        | WHERE p <= tp + 3),
+        |rawp AS (
+        | SELECT *, CASE
+        |   WHEN p <= tp THEN CASE WHEN ascii(substr(mp, 2, 1)) % 5 = 0 THEN 0
+        |                          ELSE ascii(substr(mp, 1, 1)) % 8 + 3 END
+        |   ELSE CASE WHEN ascii(substr(mp, 3, 1)) % 3 = 0 THEN ascii(substr(mp, 1, 1)) % 5 + 1
+        |             ELSE 0 END END AS nrows
+        | FROM pages),
+        |served AS (
+        | SELECT * FROM (
+        |  SELECT *, min(CASE WHEN nrows = 0 THEN p END)
+        |    OVER (PARTITION BY ex, day, cat) AS first_empty
+        |  FROM rawp)
+        | WHERE nrows > 0 AND (first_empty IS NULL OR p < first_empty)),
+        |rows0 AS (
+        | SELECT s.*, r,
+        |  CASE WHEN r = 0 THEN concat('u:', ex, ':', day, ':', cat, ':', p)
+        |       ELSE concat('p:', ex, ':', day, ':',
+        |    (ascii(substr(md5(concat('pd:', ex, ':', day, ':', cat, ':', p, ':', r)), 1, 1)) * 131
+        |     + ascii(substr(md5(concat('pd:', ex, ':', day, ':', cat, ':', p, ':', r)), 2, 1))) % 40)
+        |  END AS k,
+        |  (((ex * 100000 + day) * 8 + catidx) * 1000 + p) * 100 + r AS arrival_seq
+        | FROM served s, (SELECT unnest(generate_series(0, 9)) AS r)
+        | WHERE r < nrows),
+        |ann AS (SELECT rows0.*, md5(concat('ann:', k)) AS m FROM rows0),
+        |fields AS (
+        | SELECT arrival_seq, p, day, r,
+        |  concat(['60','68','00','30','83','43','99'][ascii(substr(m, 5, 1)) % 7 + 1],
+        |    lpad(CAST((ascii(substr(m, 3, 1)) * 131 + ascii(substr(m, 4, 1))) % 10000 AS VARCHAR), 4, '0')) AS sec_code_raw,
+        |  concat('公司', CAST((ascii(substr(m, 3, 1)) * 131 + ascii(substr(m, 4, 1))) % 10000 AS VARCHAR)) AS company,
+        |  CASE WHEN r = 0 THEN '2024年年度报告'
+        |   ELSE CASE (ascii(substr(m, 1, 1)) % 8)
+        |    WHEN 0 THEN '2024年年度报告' WHEN 1 THEN '2023年年度报告摘要'
+        |    WHEN 2 THEN '2024年年度报告（英文版）' WHEN 3 THEN '2019年年度报告'
+        |    WHEN 4 THEN '公司章程'
+        |    ELSE concat('2023年第', CAST(ascii(substr(m, 2, 1)) % 3 + 1 AS VARCHAR), '季度报告') END
+        |  END AS title,
+        |  CASE WHEN ascii(substr(m, 6, 1)) % 2 = 0
+        |       THEN day * 86400000 + (ascii(substr(m, 7, 1)) % 24) * 3600000
+        |       ELSE -1 END AS time_ms,
+        |  CASE WHEN ascii(substr(m, 6, 1)) % 2 = 0 THEN NULL
+        |       ELSE concat(strftime(DATE '1970-01-01' + day * INTERVAL 1 DAY, '%Y-%m-%d'), ' ',
+        |         lpad(CAST(ascii(substr(m, 7, 1)) % 24 AS VARCHAR), 2, '0'), ':00:00') END AS time_str,
+        |  concat(CASE WHEN ascii(substr(m, 9, 1)) % 16 = 0 THEN 'private/' ELSE '' END,
+        |    'r/', m, '.pdf') AS adjunct,
+        |  CAST(DATE '1970-01-01' + day * INTERVAL 1 DAY AS DATE) AS report_date
+        | FROM ann),
+        |keyed AS (
+        | SELECT *,
+        |  concat_ws('', sec_code_raw, title, CAST(time_ms AS VARCHAR), time_str, adjunct) AS seen_key,
+        |  concat('https://static.cninfo.example/final/', adjunct) AS url
+        | FROM fields
+        | WHERE (regexp_matches(title, '2023|2024') OR NOT regexp_matches(title, '\d'))
+        |  AND NOT contains(title, '摘要') AND NOT contains(title, '英文版')),
+        |firstwins AS (
+        | SELECT * FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY seen_key ORDER BY p, arrival_seq) AS rn
+        |  FROM keyed) WHERE rn = 1),
+        |allowed AS (SELECT * FROM firstwins WHERE NOT starts_with(adjunct, 'private/')),
+        |validated AS (
+        | SELECT * FROM allowed
+        | WHERE ascii(substr(md5(concat('st:', url)), 1, 1)) % 20 != 0
+        |  AND (CASE ascii(substr(md5(concat('ct:', url)), 1, 1)) % 12
+        |        WHEN 0 THEN 'text/html' WHEN 1 THEN 'application/octet-stream'
+        |        ELSE 'application/pdf' END = 'application/pdf'
+        |       OR (CASE WHEN ascii(substr(md5(concat('mg:', url)), 1, 1)) % 3 = 0
+        |           THEN '<htm' ELSE '%PDF' END) = '%PDF')),
+        |results AS (
+        | SELECT arrival_seq, sec_code_raw, company, title, report_date, url AS pdf_url
+        | FROM validated),
+        |post AS (
+        | SELECT *,
+        |  CASE WHEN regexp_matches(sec_code_raw, '^\d+$') AND length(sec_code_raw) < 6
+        |       THEN lpad(sec_code_raw, 6, '0') ELSE sec_code_raw END AS code6
+        | FROM results
+        | WHERE (regexp_matches(title, '2023|2024') OR NOT regexp_matches(title, '\d'))
+        |  AND NOT contains(title, '摘要') AND NOT contains(title, '英文版')),
+        |coded AS (
+        | SELECT arrival_seq, company, title, report_date, pdf_url,
+        |  CASE WHEN substr(code6, 1, 2) IN ('60', '68') THEN concat(code6, '.SH')
+        |       WHEN substr(code6, 1, 2) IN ('00', '30') THEN concat(code6, '.SZ')
+        |       WHEN substr(code6, 1, 2) IN ('83', '87', '92', '43') THEN concat(code6, '.BJ')
+        |       ELSE code6 END AS sec_code
+        | FROM post),
+        |a2 AS (SELECT *, row_number() OVER (PARTITION BY sec_code, company, title ORDER BY arrival_seq) AS rna FROM coded),
+        |a3 AS (SELECT *, row_number() OVER (PARTITION BY sec_code ORDER BY report_date DESC NULLS LAST, arrival_seq) AS rn2
+        |       FROM a2 WHERE rna = 1)
+        |SELECT sec_code, company, title, report_date, pdf_url FROM a3 WHERE rn2 = 1""".stripMargin,
+
     "crawl_postprocess" ->
       """WITH ann AS (
         | SELECT o_orderkey AS arrival_seq, md5(CAST(o_orderkey AS VARCHAR)) AS m,
