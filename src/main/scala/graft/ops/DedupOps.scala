@@ -79,11 +79,11 @@ object DedupOps {
     // unhinted so AQE runtime-broadcasts it when it fits). The
     // per-doc `__sz` stays a WINDOW: it partitions by doc id, which
     // is doc-bounded by construction. A/B at local[32] sf0.1
-    // (cold/warm secs, fresh JVM): double-window 14.8/2.1,
-    // this shape 15.3/2.8, groupBy sizes joined back 39.4/4.3 —
-    // the ~0.7 s warm delta buys the unbounded-skew guarantee
-    // (see DedupSkewSpec: a shingle in 20% of all rows produces no
-    // single hot task here).
+    // (cold/warm secs, fresh JVM): double-window 14.8/2.1 (r3,
+    // quiet box), this shape 14.1/3.3 (r4, box under external load),
+    // groupBy sizes joined back 39.4/4.3 — the ~1 s warm delta buys
+    // the unbounded-skew guarantee (see DedupSkewSpec: a shingle in
+    // 25% of all rows produces no single hot task here).
     import org.apache.spark.sql.expressions.Window
     val sh0 = shingles(docs, idCol, textCol, n)
     val capped =

@@ -155,8 +155,8 @@ object CrawlQueries {
     "crawl_replay" -> ((s, _) => {
       val cfg = graft.crawl.CrawlJob.Config(
         saltCount = 4, tokensPerTick = 4, ticksPerRound = 8, bloomP = 8,
-        roundShufflePartitions = 8, roundWholeStageCodegen = false,
-        roundAdaptive = false)
+        roundShufflePartitions = 4, commitFiles = 2,
+        roundWholeStageCodegen = false, roundAdaptive = false)
       val seeds = graft.crawl.CrawlJob.expandSeeds(19830, 19831)
       val root = java.nio.file.Files.createTempDirectory("crawl-replay-q").toString
       graft.crawl.CrawlJob.run(s, seeds, cfg, root, graft.crawl.Md5Net)
