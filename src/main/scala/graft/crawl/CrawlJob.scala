@@ -167,13 +167,24 @@ object CrawlJob {
     * only; the hard cap (500) backstops it all. Pure — shared by the
     * distributed job and the test oracle.
     *
-    * Documented approximation: the reference counts a page "empty"
-    * when it yields zero NEW announcements (its seen set is built
-    * before any title filter); here `newKept` is the count of rows
-    * that are both new AND pass F1/F2 (this pipeline filters before
-    * the seen set so re-served filtered titles never shuffle). A page
-    * of all-new but all-filtered titles therefore counts as empty here
-    * and non-empty in the reference — a strictly earlier stop.
+    * Documented approximation (ADVICE r3, deliberate): the reference
+    * counts a page "empty" when it yields zero NEW announcements (its
+    * seen set is built before any title filter); here `newKept` is the
+    * count of rows that are both new AND pass F1/F2 (this pipeline
+    * filters before the seen set so re-served filtered titles never
+    * shuffle). A page of all-new but all-filtered titles therefore
+    * counts as empty here and non-empty in the reference — a strictly
+    * earlier stop. Exact parity would require the seen state to carry
+    * every FILTERED key too (new-ness of a filtered row is only
+    * decidable against a seen set that includes filtered keys — the
+    * title is part of the identity 4-tuple, so a key's kept-ness is
+    * constant and the RESULT set would not change, only the stop
+    * timing): at the 10^10 design point that inflates the seen table
+    * and every bloom/anti-join probe by the filtered fraction (~35%
+    * of the fixture corpus) to buy completeness only on streams whose
+    * tail pages are entirely re-served-but-filtered titles. The
+    * scale-optimized divergence is kept; both golden oracles
+    * (CrawlOracle, the crawl_replay DuckDB closed form) encode it.
     */
   def nextListingTask(t: ListingTask, rawRows: Int, newKept: Long, totalPages: Int,
                       cfg: Config): Option[ListingTask] = {

@@ -307,7 +307,12 @@ object DedupOps {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, s"4-band pigeonhole guarantees only maxHamming <= 3, got $maxHamming")
+    // The fingerprint table feeds BOTH sides of the band self-join;
+    // without a persist each side re-runs the 64-aggregate build over
+    // every token row (measured warm 5.5 s → 1.0-1.5 s at sf0.1). The
+    // cache is one long per doc — negligible against the corpus.
     val fp = simhash(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band value via AND-mask, not %: shiftright is an ARITHMETIC
     // shift, so a negative fingerprint would give negative remainders
     // under % while the mask keeps the low 16 bits exactly.

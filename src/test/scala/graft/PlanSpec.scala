@@ -81,6 +81,22 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "HashAggregate") >= 2, s"map-side partial agg expected:\n$p")
   }
 
+  test("dedup_simhash_pairs: banded equi-join, never a cartesian") {
+    val p = plan("dedup_simhash_pairs")
+    assert(count(p, "CartesianProduct") == 0 && count(p, "BroadcastNestedLoopJoin") == 0,
+      s"the 4x16-bit band blocking must plan as an equi-join:\n$p")
+    // the fingerprint build is one partial-aggregated groupBy(id)
+    assert(count(p, "HashAggregate") >= 2, s"map-side partial agg expected:\n$p")
+  }
+
+  test("dedup_ngram_jaccard: df-cap is a partial-agg anti-join, not a shingle window") {
+    val p = plan("dedup_ngram_jaccard")
+    val winLines = p.split("\n").filter(_.contains("windowspecdefinition"))
+    assert(!winLines.exists(_.contains("shingle")),
+      s"df-cap must never shuffle a hot shingle's rows into one task:\n$p")
+    assert(p.contains("LeftAnti"), s"heavy-hitter anti-join expected:\n$p")
+  }
+
   test("parquet scans keep pushdown and pruning (the free Catalyst wins)") {
     import org.apache.spark.sql.functions.col
     val q = Tables.load(spark, d, "lineitem")

@@ -188,6 +188,37 @@ class ResumeSpec extends SparkSpec {
     assert(e.getMessage.contains("asOf"), e.getMessage)
   }
 
+  test("SnapshotCatalog: pure-SQL SELECT / INSERT INTO / VERSION AS OF / SHOW TABLES") {
+    val root = Files.createTempDirectory("crawl-cat").toString
+    val log = new SnapshotLog(root)
+    import spark.implicits._
+    val s0 = log.commit(
+      deltas = Map("t" -> Seq(("a", 1)).toDF("k", "v")),
+      replaced = Map.empty, props = Map("round" -> "0"))
+    spark.conf.set("spark.sql.catalog.graftcat",
+      classOf[graft.snapshot.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcat.root", root)
+
+    // SELECT over the latest snapshot
+    assert(spark.sql("SELECT k FROM graftcat.t").collect().map(_.getString(0)).toSeq == Seq("a"))
+    // INSERT INTO = delta commit through the atomic manifest protocol
+    spark.sql("INSERT INTO graftcat.t VALUES ('b', 2)")
+    assert(log.latest().get.id == s0.id + 1)
+    assert(spark.sql("SELECT count(*) FROM graftcat.t").head.getLong(0) == 2)
+    // INSERT into a not-yet-existing table creates it (first commit)
+    spark.sql("INSERT INTO graftcat.fresh VALUES (7)")
+    assert(spark.sql("SELECT * FROM graftcat.fresh").head.getInt(0) == 7)
+    // time travel by snapshot id
+    assert(spark.sql(s"SELECT count(*) FROM graftcat.t VERSION AS OF ${s0.id}")
+      .head.getLong(0) == 1)
+    // SHOW TABLES sees the committed tables
+    val shown = spark.sql("SHOW TABLES IN graftcat").collect().map(_.getString(1)).toSet
+    assert(shown.contains("t") && shown.contains("fresh"), shown.toString)
+    // immutable history: DROP refuses
+    val e = intercept[Exception] { spark.sql("DROP TABLE graftcat.t") }
+    assert(e.getMessage.toLowerCase.contains("not supported"), e.getMessage)
+  }
+
   test("failed commit settles every in-flight write, keeps prior snapshot, retry works") {
     val root = Files.createTempDirectory("crawl-failcommit").toString
     val log = new SnapshotLog(root)
