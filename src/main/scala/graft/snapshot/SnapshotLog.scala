@@ -121,6 +121,65 @@ final class SnapshotLog(val root: String) extends SnapshotTable {
   def readTable(spark: SparkSession, snap: Snapshot, name: String): Option[DataFrame] =
     snap.tables.get(name).filter(_.nonEmpty).map(dirs => spark.read.parquet(dirs: _*))
 
+  /** Data-file compaction for an accumulating table: rewrite all of
+    * its delta dirs as ONE replace commit. Old snapshots still
+    * reference the old dirs (history is immutable — time travel to a
+    * pre-compaction id sees exactly what it saw); only the HEAD's dir
+    * list shrinks. At the design point an accumulating table gains a
+    * dir per round, so un-compacted reads pay O(rounds) directory
+    * listings and footer fetches — run this (or the sketch table's
+    * automatic equivalent, CrawlJob.Config.sketchCompactEvery) on a
+    * maintenance cadence. `targetFiles` bounds the rewrite fan-in.
+    * Returns the new snapshot (None if the table is absent/empty).
+    */
+  def compactTable(spark: SparkSession, name: String, targetFiles: Int = 32): Option[Snapshot] =
+    latest().flatMap { snap =>
+      readTable(spark, snap, name).map { df =>
+        commit(Map.empty, Map(name -> df.coalesce(targetFiles)),
+          props = Map("maintenance" -> s"compact:$name"))
+      }
+    }
+
+  /** Snapshot expiry: delete manifests older than the newest
+    * `keepLast` and every data dir no surviving snapshot references.
+    * This is the one DESTRUCTIVE operation in the log — time travel
+    * to an expired id stops working, which is the point (bounded
+    * storage). Crash-safe ordering: manifests are deleted FIRST, so
+    * a crash mid-expiry leaves orphan data dirs (invisible, re-
+    * collectable on the next expiry) rather than manifests naming
+    * missing data. Returns (manifests deleted, data dirs deleted).
+    */
+  def expireSnapshots(keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    if (!Files.isDirectory(rootPath)) return (0, 0)
+    val ids = scala.util.Using.resource(Files.list(rootPath)) { stream =>
+      stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("snapshot-") && s.endsWith(".json") =>
+          s.stripPrefix("snapshot-").stripSuffix(".json").toLong }
+        .toSeq.sorted
+    }
+    val (expired, kept) = ids.splitAt(math.max(0, ids.size - keepLast))
+    if (expired.isEmpty) return (0, 0)
+    val keptDirs: Set[String] =
+      kept.flatMap(id => read(id).tables.values.flatten).toSet
+    val expiredDirs: Set[String] =
+      expired.flatMap(id => read(id).tables.values.flatten).toSet -- keptDirs
+    expired.foreach(id => Files.deleteIfExists(manifestPath(id)))
+    var deletedDirs = 0
+    expiredDirs.foreach { dir =>
+      val p = Paths.get(dir)
+      if (Files.isDirectory(p)) {
+        scala.util.Using.resource(Files.walk(p)) { walk =>
+          walk.sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(f => Files.deleteIfExists(f))
+        }
+        deletedDirs += 1
+      }
+    }
+    (expired.size, deletedDirs)
+  }
+
   private def manifestPath(id: Long): Path = rootPath.resolve(f"snapshot-$id%06d.json")
 
   // -- tiny self-contained JSON (flat, string-valued) -----------------

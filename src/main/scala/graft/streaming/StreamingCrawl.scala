@@ -55,6 +55,56 @@ object StreamingCrawl {
     * bucket state left by previous batches. State never grows — it is
     * exactly (nextTick, usedInTick).
     */
+  /** Streaming sink into a [[graft.snapshot.SnapshotLog]]: every
+    * micro-batch commits one delta dir through the same atomic
+    * manifest-rename protocol as the batch writers, so a streaming
+    * frontier feed and the batch crawl share one table format, one
+    * resume story and one reader surface (Scala API, DSv2 source,
+    * SQL catalog).
+    *
+    * Exactly-once across restarts WITHOUT a new mechanism: the batch
+    * id is recorded in the commit's props; on restart Structured
+    * Streaming replays the last unacknowledged batch, and the sink
+    * skips any batch id ≤ the last committed one for this query —
+    * the manifest IS the sink-side write-ahead log.
+    */
+  def snapshotSink(stream: DataFrame, root: String, table: String,
+                   queryName: String = "stream"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val batchKey = s"stream_batch:$queryName"
+    // The last committed batch id may sit a few commits back if other
+    // writers (the batch crawl) interleave — walk the parent chain
+    // until found (the sink re-carries the key on every commit, so
+    // the walk is short; expiry bounds it absolutely). A deleted
+    // (expired) parent manifest ends the walk.
+    def lastCommitted(log: graft.snapshot.SnapshotLog): Option[Long] = {
+      var cur = log.latest()
+      while (cur.isDefined) {
+        cur.get.props.get(batchKey) match {
+          case Some(v) => return Some(v.toLong)
+          case None =>
+            cur =
+              if (cur.get.parent < 0) None
+              else scala.util.Try(log.read(cur.get.parent)).toOption
+        }
+      }
+      None
+    }
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val log = new graft.snapshot.SnapshotLog(root)
+      log.init()
+      val already = lastCommitted(log)
+      if (!already.exists(_ >= batchId)) {
+        // carry every query's latest batch id forward so concurrent
+        // sinks into one log do not erase each other's idempotence
+        val carried = log.latest().map(_.props).getOrElse(Map.empty)
+          .filter { case (k, _) => k.startsWith("stream_batch:") }
+        log.commit(Map(table -> batch), Map.empty,
+          carried + (batchKey -> batchId.toString))
+      }
+      ()
+    }
+  }
+
   def politenessStream(tasks: Dataset[StreamTask], saltCount: Int, tokensPerTick: Int,
                        tickMs: Long): Dataset[ScheduledFetch] = {
     val spark = tasks.sparkSession
