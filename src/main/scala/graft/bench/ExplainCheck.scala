@@ -20,7 +20,8 @@ object ExplainCheck {
       scans.take(3).foreach(x => println(s"   $name $x"))
     }
     Seq("q2_region_revenue", "q4_anti_join", "q1_pricing_summary", "crawl_wide_report",
-      "dedup_ngram_jaccard", "ann_ivf_topk", "extract_long_rows", "crawl_dense_rescale",
+      "dedup_ngram_jaccard", "dedup_simhash_pairs", "dedup_minhash_lsh", "ann_ivf_topk",
+      "extract_long_rows", "crawl_dense_rescale",
       "text_quality", "crawl_validate", "crawl_politeness_salted", "priority_topk",
       "mm_frame_sample", "dedup_embed_cosine").foreach(show)
     // detailed: does q1 push filter + prune columns?

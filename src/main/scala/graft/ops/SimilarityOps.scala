@@ -177,6 +177,69 @@ object SimilarityOps {
         floor(col("cos") * 1e6).cast("long").as("cos_micro"))
   }
 
+  /** Random-hyperplane LSH near-dup pairs — the LABEL-FREE scale path
+    * for embedding dedup ([[embeddingNearDupPairs]] needs a bucket
+    * column; this one builds its own blocking): each vector gets a
+    * `planes`-bit signature (bit p = sign of ⟨qv, h_p⟩ against a
+    * DETERMINISTIC ±1 hyperplane h_p whose component (p, i) is drawn
+    * from md5("hp:p:i") — engine-portable, so the DuckDB oracle
+    * derives identical planes), the signature is cut into `bands`
+    * blocking keys, and candidates sharing ANY band are verified with
+    * the EXACT integer cosine threshold (den²·dot² ≥ num²·na·nb ∧
+    * dot > 0). Output: (id_a, id_b, cos_micro), id_a < id_b.
+    *
+    * Semantics are the LSH contract: a reported pair always truly
+    * passes the threshold (the verify is exact); a qualifying pair is
+    * found iff it shares a band — for cos ≥ 0.8 and 4×4-bit bands
+    * that is ~0.87 per pair and rises steeply with similarity
+    * (recall measured in OpsSpec). Scale shape: signature build is a
+    * NARROW map (the hyperplanes are plan-time literals riding the
+    * codegen'd dot product), blocking keys number bands·2^(planes/
+    * bands), and the candidate join is a bucketed equi-join — no
+    * all-pairs stage anywhere.
+    */
+  def embeddingLshPairs(df: DataFrame, idCol: String, vecCol: String,
+                        num: Long, den: Long,
+                        planes: Int = 16, bands: Int = 4,
+                        dims: Int = 64): DataFrame = {
+    require(planes % bands == 0, s"planes ($planes) must split into bands ($bands)")
+    require(planes <= 62, "signature must fit a non-negative long")
+    val rowsPerBand = planes / bands
+    // ±1 hyperplane components from the FIRST md5 hex char's parity —
+    // restated verbatim in the oracle SQL
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString
+    }
+    def sign(p: Int, i: Int): Long =
+      if (md5hex(s"hp:$p:$i").charAt(0).toInt % 2 == 0) 1L else -1L
+    val planeLits: Seq[Column] =
+      (0 until planes).map(p => typedLit((0 until dims).map(i => sign(p, i))))
+    val qd = quantized(df, idCol, vecCol)
+    val sig = (0 until planes).map(p =>
+      when(dotQ(col("qv"), planeLits(p)) > 0, lit(1L << p)).otherwise(0L)).reduce(_ + _)
+    val banded = qd.withColumn("sig", sig)
+      .select(col(idCol), col("qv"), col("nsq"), col("sig"),
+        explode(array((0 until bands).map(lit): _*)).as("band"))
+      .withColumn("bv",
+        expr(s"shiftright(sig, band * $rowsPerBand)")
+          .bitwiseAND(lit((1L << rowsPerBand) - 1)))
+    val a = banded.select(col(idCol).as("id_a"), col("band"), col("bv"),
+      col("qv").as("a_qv"), col("nsq").as("a_nsq"))
+    val b = banded.select(col(idCol).as("id_b"), col("band"), col("bv"),
+      col("qv").as("b_qv"), col("nsq").as("b_nsq"))
+    a.join(b, Seq("band", "bv"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "a_qv", "a_nsq", "b_qv", "b_nsq")
+      .distinct() // a pair can share several bands — verify once
+      .withColumn("dot", dotQ(col("a_qv"), col("b_qv")))
+      .where(col("dot") > 0 &&
+        col("dot") * col("dot") * (den * den) >= col("a_nsq") * col("b_nsq") * (num * num))
+      .select(col("id_a"), col("id_b"),
+        floor(cosineQ(col("dot"), col("a_nsq"), col("b_nsq")) * 1e6).cast("long").as("cos_micro"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: cosine ≥ num/den, decided
     * in EXACT integer arithmetic (den²·dot² ≥ num²·na·nb ∧ dot > 0),
     * blocked by `bucketCol` (cluster label ≙ IVF cell) so the pair

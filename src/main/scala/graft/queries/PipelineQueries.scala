@@ -104,6 +104,14 @@ object PipelineQueries {
       SimilarityOps.embeddingNearDupPairs(emb(s, d), "vec_id", "embedding", "label",
         num = 2, den = 5)),
 
+    // Label-free embedding near-dup: random-hyperplane LSH blocking
+    // (16-bit signatures, 4x4-bit bands) + the same exact integer
+    // cosine verify; the oracle derives the identical md5-seeded
+    // hyperplanes and restates the blocking verbatim.
+    "dedup_embed_lsh" -> ((s, d) =>
+      SimilarityOps.embeddingLshPairs(emb(s, d), "vec_id", "embedding",
+        num = 2, den = 5)),
+
     "ann_bruteforce_topk" -> ((s, d) => {
       val e = emb(s, d)
       SimilarityOps.annBruteForce(e.where(col("vec_id") % 50 === 0), e,
@@ -198,6 +206,26 @@ object PipelineQueries {
         | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  ${dotSql("a.qv", "b.qv")} AS dot, a.nsq AS an, b.nsq AS bn
         | FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b,
+        | CAST(floor(CAST(dot AS DOUBLE)/sqrt(CAST(an*bn AS DOUBLE)) * 1e6) AS BIGINT) AS cos_micro
+        |FROM p WHERE dot > 0 AND dot*dot*25 >= an*bn*4""".stripMargin,
+
+    "dedup_embed_lsh" ->
+      s"""WITH q AS (SELECT vec_id, $quantSql AS qv FROM embeddings),
+        |n AS (SELECT vec_id, qv, ${dotSql("qv", "qv")} AS nsq FROM q),
+        |sigs AS (
+        | SELECT vec_id,
+        |  CAST((SELECT sum(CASE WHEN (SELECT sum(qv[i] * (CASE WHEN ascii(substr(md5(concat('hp:', p, ':', i - 1)), 1, 1)) % 2 = 0 THEN 1 ELSE -1 END)) FROM generate_series(1, 64) t(i)) > 0 THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END) FROM generate_series(0, 15) pp(p)) AS BIGINT) AS sig
+        | FROM n),
+        |banded AS (
+        | SELECT n.vec_id, n.qv, n.nsq, (sigs.sig >> (g.b * 4)) & 15 AS bv, g.b
+        | FROM n JOIN sigs ON n.vec_id = sigs.vec_id, (SELECT unnest(generate_series(0, 3)) AS b) g),
+        |cand AS (
+        | SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+        | FROM banded x JOIN banded y ON x.b = y.b AND x.bv = y.bv AND x.vec_id < y.vec_id),
+        |p AS (
+        | SELECT id_a, id_b, ${dotSql("x.qv", "y.qv")} AS dot, x.nsq AS an, y.nsq AS bn
+        | FROM cand JOIN n x ON cand.id_a = x.vec_id JOIN n y ON cand.id_b = y.vec_id)
         |SELECT id_a, id_b,
         | CAST(floor(CAST(dot AS DOUBLE)/sqrt(CAST(an*bn AS DOUBLE)) * 1e6) AS BIGINT) AS cos_micro
         |FROM p WHERE dot > 0 AND dot*dot*25 >= an*bn*4""".stripMargin,

@@ -194,6 +194,39 @@ class OpsSpec extends SparkSpec {
     assert(n.head.isNullAt(0))
   }
 
+  test("embedding LSH pairs: subset of exact pairs (same cos), high recall on near dups") {
+    val s = spark; import s.implicits._
+    import graft.gen.Fixtures
+    // 60 pseudo-random 16-dim vectors + 20 near-clones (tiny additive
+    // perturbation → cos ≈ 0.999); near-clone pairs are the ground
+    // truth the LSH blocking must recover
+    def rnd(id: Long, j: Int): Float =
+      (math.floorMod(Fixtures.hashKey("lshv", id, j), 2001L) - 1000L) / 1000.0f
+    val base = (0L until 60L).map(id => (id, Array.tabulate(16)(j => rnd(id, j))))
+    val clones = (0L until 20L).map(k =>
+      (100L + k, Array.tabulate(16)(j => rnd(k, j) + 0.005f * ((j % 3) - 1))))
+    val vecs = (base ++ clones).toDF("vec_id", "embedding")
+      .withColumn("label", org.apache.spark.sql.functions.lit("all"))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val exact = pairSet(SimilarityOps.embeddingNearDupPairs(vecs, "vec_id", "embedding",
+      "label", num = 9, den = 10))
+    val lsh = pairSet(SimilarityOps.embeddingLshPairs(vecs, "vec_id", "embedding",
+      num = 9, den = 10, dims = 16))
+    // LSH contract: every reported pair truly passes (verify is exact)
+    // and carries the identical cos_micro
+    lsh.foreach { case (pair, cosMicro) =>
+      assert(exact.get(pair).contains(cosMicro), s"LSH pair $pair not in exact set")
+    }
+    // recall over the planted near-clone pairs
+    val planted = (0L until 20L).map(k => (k, 100L + k)).filter(exact.contains)
+    assert(planted.nonEmpty)
+    val found = planted.count(lsh.contains)
+    val recall = found.toDouble / planted.size
+    info(f"embedding-LSH recall on planted near-dups: $recall%.2f (${planted.size} pairs)")
+    assert(recall >= 0.7, f"recall $recall%.2f below sanity floor")
+  }
+
   test("embedding near-dup pairs: exact rational threshold") {
     val s = spark; import s.implicits._
     val vecs = Seq(
