@@ -108,6 +108,111 @@ object TextOps {
       .withColumn("n_bpe_tokens",
         size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).cast("long"))
 
+  /** PII patterns. Written to behave identically under Java regex
+    * (Spark) and RE2 (DuckDB): no backreferences or lookaround, and
+    * greedy runs over disjoint character classes, so Java's
+    * leftmost-first and RE2's leftmost-longest pick the same spans.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+[0-9][0-9 ]{6,}[0-9]"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII scrubbing for training text: count and redact emails, phone
+    * numbers (+international style) and IPv4 addresses. A narrow
+    * codegen'd map — three regexp_extract_all counts + three
+    * regexp_replace passes, in a fixed order (emails first: the
+    * other patterns cannot overlap a redacted `<EMAIL>`).
+    * Output adds (n_emails, n_phones, n_ips, clean_text).
+    */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(p: String) = size(regexp_extract_all(t, lit(p), lit(0))).cast("long")
+    df.withColumn("n_emails", cnt(EmailPattern))
+      .withColumn("n_phones", cnt(PhonePattern))
+      .withColumn("n_ips", cnt(Ipv4Pattern))
+      .withColumn("clean_text",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailPattern, "<EMAIL>"),
+            PhonePattern, "<PHONE>"),
+          Ipv4Pattern, "<IP>"))
+  }
+
+  /** Longest run of equal adjacent elements — a narrow higher-order
+    * fold (no shuffle; the Gopher-style repetition signals below ride
+    * it both raw and over a sorted copy).
+    */
+  private def maxRun(arr: Column): Column =
+    aggregate(arr,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L).otherwise(1L)
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Repetition signals (the Gopher/MassiveText-style quality rules):
+    *  - dup_word_frac_milli   — duplicated-token fraction,
+    *  - max_word_run          — longest consecutive same-word run,
+    *  - top_bigram_frac_milli — most-frequent-bigram share (computed
+    *    as the longest equal run of the SORTED bigram array — an
+    *    O(n log n) narrow projection instead of a per-doc groupBy
+    *    shuffle).
+    * All ratios are floor-milli of exact small-integer ratios —
+    * bit-reproducible across engines.
+    */
+  def repetition(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val bigrams = when(n >= 2,
+      transform(sequence(lit(1), n - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    df.withColumn("__t", toks)
+      .withColumn("n_tokens", size(col("__t")).cast("long"))
+      .withColumn("dup_word_frac_milli",
+        when(col("n_tokens") > 0,
+          floor(lit(1000.0) *
+            (col("n_tokens") - size(array_distinct(col("__t")))).cast("double") /
+            col("n_tokens").cast("double")))
+          .otherwise(0L))
+      .withColumn("max_word_run", maxRun(col("__t")))
+      .withColumn("__bg", bigrams)
+      .withColumn("top_bigram_frac_milli",
+        when(size(col("__bg")) > 0,
+          floor(lit(1000.0) * maxRun(array_sort(col("__bg"))).cast("double") /
+            size(col("__bg")).cast("double")))
+          .otherwise(0L))
+      .drop("__t", "__bg")
+  }
+
+  /** Benchmark-contamination check: per-document count of word
+    * n-gram shingles that also appear in a benchmark corpus (the
+    * standard eval-leakage guard for training data). Plan shape: the
+    * benchmark side reduces to DISTINCT shingles (small — eval sets
+    * are tiny next to the corpus, so AQE broadcast-joins it); the
+    * document side is the same narrow shingle flatMap the dedup
+    * family uses; one partial-aggregated groupBy(doc) after the
+    * semi-ish inner join; docs with zero overlap come back via a
+    * left join against the id spine.
+    * Output: (idCol, n_contaminated, contaminated).
+    */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, benchTextCol: String, n: Int = 3): DataFrame = {
+    val docSh = DedupOps.shingles(docs, idCol, textCol, n)
+    val benchSh = DedupOps.shingles(
+      bench.select(lit(0L).as("__bid"), col(benchTextCol)), "__bid", benchTextCol, n)
+      .select("shingle").distinct()
+    val overlap = docSh.join(benchSh, Seq("shingle"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
+    docs.select(col(idCol))
+      .join(overlap, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("contaminated", col("n_contaminated") > 0)
+  }
+
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
     * k-gram hashes, sliding-window minima, distinct selected hashes.
     * Hash = md5 hex of the k-gram (lexicographic min of a uniform hex

@@ -142,7 +142,41 @@ object PipelineQueries {
       TextOps.tokenCounts(docs(s, d), col("text")).select("doc_id", "n_ws_tokens", "n_bpe_tokens")),
 
     "text_winnow_fingerprint" -> ((s, d) =>
-      TextOps.winnowFingerprints(docs(s, d), "doc_id", "text")))
+      TextOps.winnowFingerprints(docs(s, d), "doc_id", "text")),
+
+    // PII scrubbing over text with deterministically planted emails /
+    // phones / IPv4s (the corpus itself is plain words) — counts +
+    // the redacted text, compared byte-for-byte.
+    "text_pii" -> ((s, d) => {
+      val planted = concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" call +1 555 01"), lpad((col("doc_id") % 100).cast("string"), 2, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" from 10.0.0."), (col("doc_id") % 255).cast("string")))
+          .otherwise(lit("")))
+      TextOps.redactPii(docs(s, d).select(col("doc_id"), planted.as("text")), "text")
+        .select("doc_id", "n_emails", "n_phones", "n_ips", "clean_text")
+    }),
+
+    // Gopher-style repetition signals; Spark computes them as narrow
+    // higher-order folds, the oracle as window islands + groupBy —
+    // different formulations, same exact integers.
+    "text_repetition" -> ((s, d) =>
+      TextOps.repetition(docs(s, d), "text")
+        .select("doc_id", "n_tokens", "dup_word_frac_milli", "max_word_run",
+          "top_bigram_frac_milli")),
+
+    // Benchmark-contamination: 3-gram shingle overlap against the
+    // doc_id % 97 slice standing in for an eval set.
+    "text_contamination" -> ((s, d) => {
+      val dd = docs(s, d)
+      TextOps.contamination(dd, "doc_id", "text",
+        dd.where(col("doc_id") % 97 === 0), "text")
+    }))
 
   private def langScoreSql(l: String): String =
     if (l == "zh") s"len(regexp_extract_all(text, '${TextOps.CjkPattern}'))"
@@ -324,6 +358,57 @@ object PipelineQueries {
         | CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
         |FROM documents""".stripMargin,
+
+    "text_pii" ->
+      """WITH p AS (
+        | SELECT doc_id, concat(text,
+        |  CASE WHEN doc_id % 5 = 0 THEN concat(' contact user', CAST(doc_id AS VARCHAR), '@example.com') ELSE '' END,
+        |  CASE WHEN doc_id % 7 = 0 THEN concat(' call +1 555 01', lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')) ELSE '' END,
+        |  CASE WHEN doc_id % 11 = 0 THEN concat(' from 10.0.0.', CAST(doc_id % 255 AS VARCHAR)) ELSE '' END) AS t
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(t, '\+[0-9][0-9 ]{6,}[0-9]')) AS BIGINT) AS n_phones,
+        | CAST(len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        | regexp_replace(
+        |  regexp_replace(
+        |   regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\+[0-9][0-9 ]{6,}[0-9]', '<PHONE>', 'g'),
+        |  '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS clean_text
+        |FROM p""".stripMargin,
+
+    "text_repetition" ->
+      s"""WITH tok AS (SELECT doc_id, $tokSql AS t FROM documents),
+        |base AS (SELECT doc_id, len(t) AS n, len(list_distinct(t)) AS nd FROM tok),
+        |ex AS (SELECT doc_id, t[i] AS tok, i
+        |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM tok WHERE len(t) >= 1)),
+        |grp AS (SELECT doc_id, tok, i - row_number() OVER (PARTITION BY doc_id, tok ORDER BY i) AS g FROM ex),
+        |runs AS (SELECT doc_id, max(cnt) AS mwr FROM
+        |         (SELECT doc_id, tok, g, count(*) AS cnt FROM grp GROUP BY doc_id, tok, g) GROUP BY doc_id),
+        |bg AS (SELECT doc_id, concat(t[i], ' ', t[i+1]) AS b
+        |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i FROM tok WHERE len(t) >= 2)),
+        |bgt AS (SELECT doc_id, max(c) AS topc, sum(c) AS nbg FROM
+        |        (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b) GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+        | CASE WHEN b.n > 0 THEN CAST(floor(1000.0 * CAST(b.n - b.nd AS DOUBLE) / CAST(b.n AS DOUBLE)) AS BIGINT)
+        |      ELSE 0 END AS dup_word_frac_milli,
+        | CAST(coalesce(r.mwr, 0) AS BIGINT) AS max_word_run,
+        | CASE WHEN coalesce(g.nbg, 0) > 0
+        |      THEN CAST(floor(1000.0 * CAST(g.topc AS DOUBLE) / CAST(g.nbg AS DOUBLE)) AS BIGINT)
+        |      ELSE 0 END AS top_bigram_frac_milli
+        |FROM base b LEFT JOIN runs r ON b.doc_id = r.doc_id
+        |LEFT JOIN bgt g ON b.doc_id = g.doc_id""".stripMargin,
+
+    "text_contamination" ->
+      s"""WITH tok AS (SELECT doc_id, $tokSql AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+        |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
+        |             FROM tok WHERE len(t) >= 3)),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+        |ov AS (SELECT sh.doc_id, count(*) AS n FROM sh JOIN bench USING (shingle) GROUP BY sh.doc_id)
+        |SELECT d.doc_id, CAST(coalesce(ov.n, 0) AS BIGINT) AS n_contaminated,
+        | coalesce(ov.n, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id""".stripMargin,
 
     "text_winnow_fingerprint" ->
       """WITH grams AS (

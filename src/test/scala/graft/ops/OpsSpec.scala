@@ -115,6 +115,52 @@ class OpsSpec extends SparkSpec {
     assert(got.getLong(1) == 5)  // ab | 12 | cd | ! | ef
   }
 
+  test("PII redaction: counts and redacts emails / phones / IPv4, leaves clean text alone") {
+    val s = spark; import s.implicits._
+    val rows = Seq(
+      (1L, "mail me at jo.doe+x@sub.example.org today"),
+      (2L, "call +1 555 0100 99 or visit 10.1.2.3 now"),
+      (3L, "nothing sensitive here at all")).toDF("doc_id", "text")
+    val byId = TextOps.redactPii(rows, "text")
+      .select("doc_id", "n_emails", "n_phones", "n_ips", "clean_text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(byId(1L) == ((1L, 0L, 0L, "mail me at <EMAIL> today")))
+    assert(byId(2L) == ((0L, 1L, 1L, "call <PHONE> or visit <IP> now")))
+    assert(byId(3L) == ((0L, 0L, 0L, "nothing sensitive here at all")))
+  }
+
+  test("repetition signals: dup-word fraction, max run, top-bigram share") {
+    val s = spark; import s.implicits._
+    val rows = Seq(
+      (1L, "spam spam spam spam eggs"),   // run of 4, 5 tokens 2 distinct
+      (2L, "a b a b a b"),                // alternating: top bigram 'a b' 3/5
+      (3L, "all words here differ"),
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextOps.repetition(rows, "text")
+      .select("doc_id", "n_tokens", "dup_word_frac_milli", "max_word_run",
+        "top_bigram_frac_milli").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L) == ((5L, 600L, 4L, 750L)))  // 3 dup of 5; 'spam spam' 3 of 4 bigrams
+    assert(got(2L) == ((6L, 666L, 1L, 600L)))  // 4 dup of 6; 'a b' 3 of 5
+    assert(got(3L) == ((4L, 0L, 1L, 333L)))    // all bigrams unique: 1 of 3
+    assert(got(4L) == ((0L, 0L, 0L, 0L)))
+  }
+
+  test("contamination: shingle overlap against a benchmark slice") {
+    val s = spark; import s.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "a completely unrelated sentence here"),
+      (3L, "quick brown fox leaps high")).toDF("doc_id", "text")
+    val bench = Seq((0L, "the quick brown fox runs")).toDF("bid", "text")
+    val got = TextOps.contamination(corpus, "doc_id", "text", bench, "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // bench shingles: {the quick brown, quick brown fox, brown fox runs}
+    assert(got(1L) == ((2L, true)))   // shares 'the quick brown', 'quick brown fox'
+    assert(got(2L) == ((0L, false)))
+    assert(got(3L) == ((1L, true)))   // shares 'quick brown fox'
+  }
+
   test("winnow fingerprints: dup docs share all fingerprints") {
     val got = TextOps.winnowFingerprints(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getString(1)))
