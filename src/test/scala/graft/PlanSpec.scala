@@ -97,6 +97,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), s"heavy-hitter anti-join expected:\n$p")
   }
 
+  test("text_pii / text_repetition: fully narrow (0 exchanges)") {
+    Seq("text_pii", "text_repetition").foreach { q =>
+      val p = plan(q)
+      assert(count(p, "Exchange") == 0, s"$q must stay a narrow map:\n$p")
+    }
+  }
+
+  test("text_contamination: shingle overlap is an equi-join, no cartesian") {
+    val p = plan("text_contamination")
+    assert(count(p, "CartesianProduct") == 0 && count(p, "BroadcastNestedLoopJoin") == 0, p)
+  }
+
   test("parquet scans keep pushdown and pruning (the free Catalyst wins)") {
     import org.apache.spark.sql.functions.col
     val q = Tables.load(spark, d, "lineitem")
