@@ -213,6 +213,49 @@ object TextOps {
       .withColumn("contaminated", col("n_contaminated") > 0)
   }
 
+  /** Sequence packing for training-batch prep: lay the corpus's
+    * token stream end-to-end (documents in `idCol` order, splitting
+    * allowed at window boundaries) and report, per document, its
+    * global token offset and the fixed-length training windows it
+    * lands in. Output adds (n_tokens, start_offset, first_seq,
+    * last_seq, n_windows); empty docs get first_seq = last_seq at
+    * their offset's window with n_windows = 0.
+    *
+    * The global exclusive prefix sum is the classic DISTRIBUTED SCAN,
+    * not a single-partition window: docs bucket by `idCol /
+    * bucketWidth` (deterministic and ORDERED — no range-sampling
+    * nondeterminism, no exchange-reuse hazard), a per-bucket window
+    * computes the within-bucket running sum, bucket totals (tiny:
+    * N/bucketWidth rows) cumsum once and broadcast-join back. The
+    * one global-ordering window in the plan runs over the bucket
+    * TOTALS, never the data. Bucket sizes follow id density — ids
+    * need not be dense, buckets just skew with sparsity; size
+    * bucketWidth so N/bucketWidth stays driver-window-friendly.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String, seqLen: Int,
+                    bucketWidth: Long = 4096L): DataFrame = {
+    val t = df.select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("__bkt", (col(idCol).cast("long") / bucketWidth).cast("long"))
+    val wWithin = Window.partitionBy("__bkt").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val within = t.withColumn("__within", coalesce(sum("n_tokens").over(wWithin), lit(0L)))
+    val wBuckets = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val bucketOffsets = t.groupBy("__bkt").agg(sum("n_tokens").as("__btot"))
+      .withColumn("__boff", coalesce(sum("__btot").over(wBuckets), lit(0L)))
+      .select("__bkt", "__boff")
+    val L = lit(seqLen.toLong)
+    within.join(broadcast(bucketOffsets), Seq("__bkt"))
+      .withColumn("start_offset", col("__boff") + col("__within"))
+      .withColumn("first_seq", floor(col("start_offset") / L))
+      .withColumn("last_seq",
+        when(col("n_tokens") > 0, floor((col("start_offset") + col("n_tokens") - 1) / L))
+          .otherwise(floor(col("start_offset") / L)))
+      .withColumn("n_windows",
+        when(col("n_tokens") > 0, col("last_seq") - col("first_seq") + 1).otherwise(0L))
+      .select(col(idCol), col("n_tokens"), col("start_offset"),
+        col("first_seq"), col("last_seq"), col("n_windows"))
+  }
+
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
     * k-gram hashes, sliding-window minima, distinct selected hashes.
     * Hash = md5 hex of the k-gram (lexicographic min of a uniform hex

@@ -176,7 +176,13 @@ object PipelineQueries {
       val dd = docs(s, d)
       TextOps.contamination(dd, "doc_id", "text",
         dd.where(col("doc_id") % 97 === 0), "text")
-    }))
+    }),
+
+    // Sequence packing into 512-token training windows — a
+    // distributed prefix-sum (bucketed scan) on the Spark side, a
+    // plain global cumsum window in the single-node oracle.
+    "text_pack_sequences" -> ((s, d) =>
+      TextOps.packSequences(docs(s, d), "doc_id", "text", seqLen = 512)))
 
   private def langScoreSql(l: String): String =
     if (l == "zh") s"len(regexp_extract_all(text, '${TextOps.CjkPattern}'))"
@@ -409,6 +415,19 @@ object PipelineQueries {
         |SELECT d.doc_id, CAST(coalesce(ov.n, 0) AS BIGINT) AS n_contaminated,
         | coalesce(ov.n, 0) > 0 AS contaminated
         |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id""".stripMargin,
+
+    "text_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, len($tokSql) AS n FROM documents),
+        |c AS (SELECT doc_id, n,
+        |  coalesce(sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        | FROM t)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(off AS BIGINT) AS start_offset,
+        | CAST(off // 512 AS BIGINT) AS first_seq,
+        | CASE WHEN n > 0 THEN CAST((off + n - 1) // 512 AS BIGINT)
+        |      ELSE CAST(off // 512 AS BIGINT) END AS last_seq,
+        | CASE WHEN n > 0 THEN CAST((off + n - 1) // 512 - off // 512 + 1 AS BIGINT)
+        |      ELSE 0 END AS n_windows
+        |FROM c""".stripMargin,
 
     "text_winnow_fingerprint" ->
       """WITH grams AS (

@@ -161,6 +161,30 @@ class OpsSpec extends SparkSpec {
     assert(got(3L) == ((1L, true)))   // shares 'quick brown fox'
   }
 
+  test("sequence packing: bucketed scan == serial prefix sum, window math exact") {
+    val s = spark; import s.implicits._
+    // 40 docs with varying token counts; bucketWidth=4 forces 10
+    // buckets so the cross-bucket offset composition is load-bearing
+    val rows = (0L until 40L).map { id =>
+      val n = (id % 7).toInt // includes empty docs (id % 7 == 0)
+      (id, Seq.fill(n)("tok").mkString(" "))
+    }
+    val df = rows.toDF("doc_id", "text").repartition(5)
+    val got = TextOps.packSequences(df, "doc_id", "text", seqLen = 10, bucketWidth = 4L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // serial twin
+    var off = 0L
+    rows.foreach { case (id, text) =>
+      val n = text.split(" ").count(_.nonEmpty).toLong
+      val first = off / 10
+      val last = if (n > 0) (off + n - 1) / 10 else first
+      val wins = if (n > 0) last - first + 1 else 0L
+      assert(got(id) == ((n, off, first, last, wins)), s"doc $id")
+      off += n
+    }
+  }
+
   test("winnow fingerprints: dup docs share all fingerprints") {
     val got = TextOps.winnowFingerprints(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getString(1)))
