@@ -185,13 +185,15 @@ object BenchLevel {
     val Array(level, parts, n, reps) = args.map(_.toLong)
     val s = Bench.session(level.toInt, parts.toInt)
     ReplayBench.run(s, n) // discard: JIT/heap warm-up inside this JVM
-    cpuCanary() // JIT the canary loop too
+    cpuCanary(); cpuCanaryPar(level.toInt) // JIT the canary loops too
     (1 to reps.toInt).foreach { _ =>
       val canary = cpuCanary()
+      val canaryPar = cpuCanaryPar(level.toInt)
       val p0 = ReplayBench.run(s, n)
-      // the canary rides the emission as a pseudo-stage, so every
+      // the canaries ride the emission as pseudo-stages, so every
       // reading carries its own box-state evidence
-      val p = p0.copy(stageSec = p0.stageSec + ("cpu_canary" -> canary))
+      val p = p0.copy(stageSec = p0.stageSec +
+        ("cpu_canary" -> canary) + ("cpu_canary_par" -> canaryPar))
       // Locale-pinned (Bench.f3): the parent parses these with toDouble
       val stages = p.stageSec.map { case (k, v) => s"stage:$k=${Bench.f3(v)}" }.mkString(" ")
       println(s"[benchlevel] urls=${p.urlsSeen} scheduled=${p.scheduled} " +
@@ -216,6 +218,34 @@ object BenchLevel {
       i += 1
     }
     if (x == 42L) println("") // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** PARALLEL canary: `threads` concurrent xorshift loops (2^26 steps
+    * each, ~0.1 s nominal wall). The single-thread canary misses
+    * BURSTY MULTI-CORE tenant load — measured: walls inflated 40%
+    * while cpu_canary read within 3% of nominal — because one brief
+    * thread rarely collides with another tenant's cores. Running as
+    * many probe threads as this level's workers contends for exactly
+    * the cores the measurement uses, so external multicore load shows
+    * up as a wall ≫ the single-thread canary.
+    */
+  def cpuCanaryPar(threads: Int): Double = {
+    val t0 = System.nanoTime()
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val ts = (1 to math.max(1, threads)).map { t =>
+      val th = new Thread(() => {
+        var x = 0x9e3779b97f4a7c15L + t
+        var i = 0
+        while (i < (1 << 26)) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+          i += 1
+        }
+        sink.addAndGet(x) // defeat dead-code elimination
+      })
+      th.start(); th
+    }
+    ts.foreach(_.join())
     (System.nanoTime() - t0) / 1e9
   }
 
