@@ -23,11 +23,12 @@ object PipelineQueries {
 
   /** Shared DuckDB SQL fragments (keep in sync with the ops). */
   private val tokSql = "regexp_extract_all(lower(text), '[a-z]+')"
-  private val minhashCtes =
-    """sh AS (
+  /** MinHash/LSH CTE chain over any (doc_id, text) source CTE/table. */
+  private def minhashCtesOver(src: String) =
+    s"""sh AS (
       | SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
       | FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
-      |       FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents)
+      |       FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM $src)
       |       WHERE len(t) >= 3)),
       |hashed AS (
       | SELECT doc_id, h,
@@ -38,6 +39,7 @@ object PipelineQueries {
       | SELECT doc_id, CAST(h // 4 AS INT) AS band,
       |  string_agg(concat(CAST(h AS VARCHAR), '=', mh), '|' ORDER BY concat(CAST(h AS VARCHAR), '=', mh)) AS sig
       | FROM mh GROUP BY doc_id, CAST(h // 4 AS INT))""".stripMargin
+  private val minhashCtes = minhashCtesOver("documents")
   /** 64-bit simhash restatement (keep in sync with DedupOps.simhash):
     * bits 0..31 from md5(tok), 32..63 from md5('b:'||tok); two's
     * complement assembly with bit 63 as the sign contribution.
@@ -182,7 +184,26 @@ object PipelineQueries {
     // distributed prefix-sum (bucketed scan) on the Spark side, a
     // plain global cumsum window in the single-node oracle.
     "text_pack_sequences" -> ((s, d) =>
-      TextOps.packSequences(docs(s, d), "doc_id", "text", seqLen = 512)))
+      TextOps.packSequences(docs(s, d), "doc_id", "text", seqLen = 512)),
+
+    // The FULL curation pipeline as one composed plan — the library's
+    // operators chained the way a real training-data run chains them:
+    // quality gate (length + stopword kinds) → MinHash-LSH near-dup
+    // pairs over the survivors → connected-components cluster reps →
+    // keep one doc per duplicate class → pack the kept token stream
+    // into 512-token training windows.
+    "pipeline_curate" -> ((s, d) => {
+      val dd = docs(s, d)
+      val q = TextOps.quality(dd, col("text"))
+        .where(col("n_tokens") >= 20 && col("n_stopword_kinds") >= 1)
+        .select("doc_id", "text")
+      val pairs = DedupOps.minhashLshPairs(q, "doc_id", "text", n = 3, bands = 4, rows = 4)
+      val reps = DedupOps.connectedComponents(q.select("doc_id"), "doc_id",
+        pairs, "id_a", "id_b")
+      val kept = q.join(
+        reps.where(col("doc_id") === col("cluster_rep")).select("doc_id"), Seq("doc_id"))
+      TextOps.packSequences(kept, "doc_id", "text", seqLen = 512)
+    }))
 
   private def langScoreSql(l: String): String =
     if (l == "zh") s"len(regexp_extract_all(text, '${TextOps.CjkPattern}'))"
@@ -415,6 +436,38 @@ object PipelineQueries {
         |SELECT d.doc_id, CAST(coalesce(ov.n, 0) AS BIGINT) AS n_contaminated,
         | coalesce(ov.n, 0) > 0 AS contaminated
         |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id""".stripMargin,
+
+    "pipeline_curate" -> {
+      val allStops = TextOps.stopwords.values.flatten.toSeq.distinct.sorted
+      val stopCntSql = allStops.map(w => s"CAST(list_contains(t, '$w') AS INT)").mkString(" + ")
+      s"""WITH RECURSIVE filtered AS (
+        | SELECT doc_id, text
+        | FROM (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents)
+        | WHERE len(t) >= 20 AND ($stopCntSql) >= 1),
+        |${minhashCtesOver("filtered")},
+        |prs AS (
+        | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+        |          UNION SELECT id_b, id_a FROM prs),
+        |reach(id, r) AS (
+        | SELECT doc_id, doc_id FROM filtered
+        | UNION
+        | SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+        |reps AS (SELECT id AS doc_id FROM reach GROUP BY id HAVING id = min(r)),
+        |kept AS (SELECT f.doc_id, len(regexp_extract_all(lower(f.text), '[a-z]+')) AS n
+        |         FROM filtered f JOIN reps USING (doc_id)),
+        |c AS (SELECT doc_id, n,
+        |  coalesce(sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        | FROM kept)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(off AS BIGINT) AS start_offset,
+        | CAST(off // 512 AS BIGINT) AS first_seq,
+        | CASE WHEN n > 0 THEN CAST((off + n - 1) // 512 AS BIGINT)
+        |      ELSE CAST(off // 512 AS BIGINT) END AS last_seq,
+        | CASE WHEN n > 0 THEN CAST((off + n - 1) // 512 - off // 512 + 1 AS BIGINT)
+        |      ELSE 0 END AS n_windows
+        |FROM c""".stripMargin
+    },
 
     "text_pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, len($tokSql) AS n FROM documents),
