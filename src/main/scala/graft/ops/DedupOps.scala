@@ -210,8 +210,13 @@ object DedupOps {
     def truncated(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = false)
       else spark.createDataFrame(df.rdd, df.schema)
-    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .unionByName(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+    // the symmetric edge build references `pairs` TWICE (forward +
+    // swapped) — persist the projection first or an expensive pair
+    // generator (LSH over a filtered corpus) runs twice
+    val prs = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = prs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(prs.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = ids.select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("label"))
@@ -238,6 +243,7 @@ object DedupOps {
           col("x.label") === col("lid"), "left")
         .select(col("x.id").as("id"),
           coalesce(col("llabel"), col("x.label")).as("label"))
+      val t0 = System.nanoTime()
       val next = truncated(next0).persist(StorageLevel.MEMORY_AND_DISK)
       val newSum = labelSum(next) // materializes `next`; one narrow agg
       labels.unpersist()
@@ -245,11 +251,14 @@ object DedupOps {
       converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum
       iter += 1
+      if (sys.env.get("SPARK_GRAFT_CC_DEBUG").contains("1"))
+        System.err.println(f"[cc] iter=$iter sum=$newSum wall=${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     if (!converged)
       System.err.println(s"[graft] WARNING: connectedComponents hit maxIter=$maxIter " +
         "without converging — cluster_rep labels are NOT a fixpoint")
     edges.unpersist()
+    prs.unpersist()
     labels.select(col("id").as(idCol), col("label").as("cluster_rep"))
   }
 
