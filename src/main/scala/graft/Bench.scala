@@ -97,16 +97,24 @@ object Bench {
     var lo = loRuns.minBy(_.wallSec)
     var hi = hiRuns.minBy(_.wallSec)
     var efficiency = eff(lo, hi)
-    // An efficiency outside (0, 1.02] is physically impossible for
-    // this job — a measurement pathology (box contention, a stalled
-    // level), not a scaling result. Fail loudly: dump per-level stage
-    // times, re-measure once, and flag the emission if it persists.
+    // An efficiency outside the PLAUSIBILITY band (0.25, 1.02] is a
+    // measurement pathology, not a scaling result: > 1.02 is
+    // physically impossible, and ≤ 0.25 means 4× the slots delivered
+    // under 1× the throughput — essentially serial execution, which
+    // this job's plan shape (uniform queue placement, partition-
+    // parallel stages, regression-gated) rules out; the one observed
+    // instance was a tenant-load wave swallowing a level (local[8]
+    // at 273 s vs 9.0 s quiet, round 4). Fail loudly either way:
+    // dump per-level stage times, re-measure once, and flag the
+    // emission `anomalous` if it persists — re-measured, never
+    // silently discarded.
     def dumpStages(tag: String, runs: Seq[ReplayBench.PipelineStats]): Unit =
       runs.foreach { r =>
         System.err.println(f"[bench] $tag wall=${r.wallSec}%.2fs thr=${r.throughput}%.0f " +
           r.stageSec.map { case (k, v) => f"$k=$v%.2fs" }.mkString(" "))
       }
-    if (efficiency > 1.02 || efficiency <= 0) {
+    def implausible(e: Double): Boolean = e > 1.02 || e <= 0.25
+    if (implausible(efficiency)) {
       System.err.println(f"[bench] ANOMALOUS efficiency=$efficiency%.3f " +
         f"(lo ${lo.wallSec}%.2fs, hi ${hi.wallSec}%.2fs) — re-measuring both levels")
       dumpStages(s"local$loLevel", loRuns); dumpStages(s"local$hiLevel", hiRuns)
@@ -117,7 +125,7 @@ object Bench {
       hi = hiRuns.minBy(_.wallSec)
       efficiency = eff(lo, hi)
     }
-    val anomalous = efficiency > 1.02 || efficiency <= 0
+    val anomalous = implausible(efficiency)
     if (anomalous) {
       System.err.println(f"[bench] efficiency STILL anomalous after re-measure: " +
         f"$efficiency%.3f — emitting with \"anomalous\":true; do not trust this number")
