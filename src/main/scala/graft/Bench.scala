@@ -14,9 +14,10 @@ import org.apache.spark.sql.SparkSession
   *    2 vs 8; see the in-code note on SMT) on identical input with
   *    FIXED partitioning; efficiency = (thr_4N / thr_N) / 4,
   *    SYMMETRIC min-of-2 runs per level (hi bracketing lo), per-level
-  *    stage times included; an efficiency outside (0, 1.02] is a
-  *    measurement pathology — it triggers a loud re-measure and, if
-  *    persistent, "anomalous":true in the emission
+  *    stage times included; an efficiency outside the plausibility
+  *    band (0.25, 1.02] is a measurement pathology — it triggers a
+  *    loud re-measure and, if persistent, "anomalous":true in the
+  *    emission
   *  - queries: per-operator wall seconds over SPARK_GRAFT_SF_DIR
   *
   * Env knobs: SPARK_GRAFT_SF_DIR (query corpus), SPARK_GRAFT_CPUS
