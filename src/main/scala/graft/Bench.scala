@@ -1,7 +1,7 @@
 package graft
 
 import graft.bench.ReplayBench
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark entry (driver-run per round → BENCH_r{N}.json).
   *
@@ -14,11 +14,25 @@ import org.apache.spark.sql.SparkSession
   *    2 vs 8; see the in-code note on SMT) on identical input with
   *    FIXED partitioning; efficiency = (thr_4N / thr_N) / 4,
   *    SYMMETRIC min-of-2 runs per level (hi bracketing lo), per-level
-  *    stage times included; an efficiency outside the plausibility
-  *    band (0.25, 1.02] is a measurement pathology — it triggers a
-  *    loud re-measure and, if persistent, "anomalous":true in the
-  *    emission
-  *  - queries: per-operator wall seconds over SPARK_GRAFT_SF_DIR
+  *    stage times included. CONTENTION-ROBUST: a reading is
+  *    contended when any canary exceeds 1.3× its quiet-box nominal —
+  *    the PRIMARY probe is the Spark-shaped reference canary (a frozen
+  *    mini-job sharing the engine's instruction mix; see
+  *    BenchLevel.sparkCanary for why the register/streaming probes
+  *    are insufficient), backed by the parallel CPU canary, the
+  *    memory-bandwidth canary, and ext_cpu_cores (> 1 external busy
+  *    core on average over the whole rep window, box-wide /proc/stat
+  *    CPU minus the bench JVM's own — tenant load measured in the act,
+  *    not sampled); contended readings are never selected while a
+  *    clean one exists, contended levels re-run with spacing, and a
+  *    persistently loud box self-flags "contended":true. An efficiency above 1.02 —
+  *    or at/under 0.25 WITH contended canaries — is a measurement
+  *    pathology: loud re-measure, then "anomalous":true +
+  *    "anomalous_kind" if it persists (a quiet-box collapse is
+  *    reported as a plain result — it would be a real regression)
+  *  - queries: per-operator wall seconds over SPARK_GRAFT_SF_DIR;
+  *    throwing queries are named in "failed" and excluded from the
+  *    timings instead of recording time-to-exception
   *
   * Env knobs: SPARK_GRAFT_SF_DIR (query corpus), SPARK_GRAFT_CPUS
   * (query-phase parallelism), SPARK_GRAFT_BENCH_URLS (replay size,
@@ -95,39 +109,117 @@ object Bench {
     var hiRuns = runLevel(hiLevel, 1)
     var loRuns = runLevel(loLevel, 2)
     hiRuns ++= runLevel(hiLevel, 1)
-    var lo = loRuns.minBy(_.wallSec)
-    var hi = hiRuns.minBy(_.wallSec)
+
+    // CONTENTION GATE (VERDICT r4 #1): every reading carries box-
+    // state evidence — the parallel CPU canary AND ext_cpu_cores
+    // (external busy cores over the whole rep window, /proc/stat
+    // minus own JVM). A reading breaching either bound was measured
+    // AGAINST TENANT LOAD, not against the engine — r4's driver
+    // artifact read 0.719 with inflated walls while the same HEAD
+    // read 0.916 quiet. The protocol now ACTS on the evidence:
+    // contended readings are never selected while a clean one
+    // exists; a level with no clean reading is re-run (bounded
+    // retries with spacing); if the box never quiets, the emission
+    // self-flags "contended":true so a sub-bar efficiency is never
+    // a bare number again.
+    // Quiet-box nominal MEASURED on this box class (bench/CanaryProbe,
+    // load 0.1: par8 0.148, par2 0.142; single-thread 0.278) — env-
+    // overridable on migration. The canary alone under-detects BURSTY
+    // load (its ~0.15 s window reads near-nominal while walls inflate
+    // 40%, r4), so each reading also carries ext_cpu_cores — box-wide
+    // busy CPU minus this JVM over the WHOLE rep window (/proc/stat) —
+    // and more than 1 tenant core average marks the reading contended.
+    val parNominal =
+      sys.env.getOrElse("SPARK_GRAFT_CANARY_PAR_NOMINAL", "0.15").toDouble
+    // Per-level mem-canary nominals "lo,hi" (the wall grows with
+    // threads even quiet — the socket saturates). Measured healthy-box
+    // best (CanaryProbe 2026-08-17: mem2 0.043, mem8 0.047 = 42.9
+    // GB/s aggregate; the burned window read 3.1 GB/s, ~10× over any
+    // sane gate).
+    val memNominals = sys.env.getOrElse("SPARK_GRAFT_CANARY_MEM_NOMINALS", "0.05,0.06")
+      .split(",").map(_.trim.toDouble)
+    val (memNomLo, memNomHi) = (memNominals(0), memNominals(1))
+    // SPARK-SHAPED canary nominals "lo,hi" — the gate's PRIMARY probe
+    // (BenchLevel.sparkCanary scaladoc: the register/streaming canaries
+    // provably missed a host neighbor trashing LLC/memory latency that
+    // retired the same replay instructions 1.6× slower). The fixed
+    // mini-job runs on each level's own session, so its wall shrinks
+    // with the level: nominals are per-level. Calibration (r5, no
+    // fully-quiet window was observable): two same-HEAD runs at
+    // different mild degradation levels give consistent quiet
+    // estimates via observed_canary / wall_inflation_vs_r4_quiet —
+    // lo: 7.25/1.13=6.4 and 8.36/1.23=6.8; hi: 2.20/1.29=1.70 and
+    // 2.41/1.47=1.64 (BENCH/r5_scaling_probe.json, r5_verify_bench
+    // .json vs run_r4_quiet_0916.json). The 1.3× gate then admits the
+    // 0.802-efficiency box state and flags the 0.769 one — the
+    // boundary sits where it should.
+    val sparkNominals = sys.env.getOrElse("SPARK_GRAFT_CANARY_SPARK_NOMINALS", "6.5,1.7")
+      .split(",").map(_.trim.toDouble)
+    val (sparkNomLo, sparkNomHi) = (sparkNominals(0), sparkNominals(1))
+    val extCpuMax = sys.env.getOrElse("SPARK_GRAFT_EXT_CPU_MAX", "1.0").toDouble
+    val contendedFactor = 1.3
+    def clean(memNominal: Double, sparkNominal: Double)(r: ReplayBench.PipelineStats): Boolean =
+      r.stageSec.get("cpu_canary_par").forall(_ <= parNominal * contendedFactor) &&
+        r.stageSec.get("mem_canary_par").forall(_ <= memNominal * contendedFactor) &&
+        r.stageSec.get("spark_canary").forall(_ <= sparkNominal * contendedFactor) &&
+        r.stageSec.get("ext_cpu_cores").forall(_ <= extCpuMax)
+    def cleanMin(runs: Seq[ReplayBench.PipelineStats], memNominal: Double,
+                 sparkNominal: Double): Option[ReplayBench.PipelineStats] = {
+      val c = runs.filter(clean(memNominal, sparkNominal))
+      if (c.isEmpty) None else Some(c.minBy(_.wallSec))
+    }
+    def cleanHi(runs: Seq[ReplayBench.PipelineStats]) = cleanMin(runs, memNomHi, sparkNomHi)
+    def cleanLo(runs: Seq[ReplayBench.PipelineStats]) = cleanMin(runs, memNomLo, sparkNomLo)
+    var retries = 0
+    while ((cleanHi(hiRuns).isEmpty || cleanLo(loRuns).isEmpty) && retries < 3) {
+      retries += 1
+      System.err.println(s"[bench] contended canaries (par nominal ${f3(parNominal)}, " +
+        s"mem nominals ${f3(memNomLo)}/${f3(memNomHi)}, factor $contendedFactor) — " +
+        s"retry $retries/3 after spacing")
+      Thread.sleep(15000)
+      if (cleanHi(hiRuns).isEmpty) hiRuns ++= runLevel(hiLevel, 1)
+      if (cleanLo(loRuns).isEmpty) loRuns ++= runLevel(loLevel, 1)
+    }
+    var contended = cleanHi(hiRuns).isEmpty || cleanLo(loRuns).isEmpty
+    var lo = cleanLo(loRuns).getOrElse(loRuns.minBy(_.wallSec))
+    var hi = cleanHi(hiRuns).getOrElse(hiRuns.minBy(_.wallSec))
     var efficiency = eff(lo, hi)
     // An efficiency outside the PLAUSIBILITY band (0.25, 1.02] is a
     // measurement pathology, not a scaling result: > 1.02 is
-    // physically impossible, and ≤ 0.25 means 4× the slots delivered
+    // physically impossible; ≤ 0.25 means 4× the slots delivered
     // under 1× the throughput — essentially serial execution, which
     // this job's plan shape (uniform queue placement, partition-
     // parallel stages, regression-gated) rules out; the one observed
     // instance was a tenant-load wave swallowing a level (local[8]
-    // at 273 s vs 9.0 s quiet, round 4). Fail loudly either way:
-    // dump per-level stage times, re-measure once, and flag the
-    // emission `anomalous` if it persists — re-measured, never
-    // silently discarded.
+    // at 273 s vs 9.0 s quiet, round 4). The two tails are kept
+    // distinct (ADVICE r4): > 1.02 is always a pathology; ≤ 0.25 is
+    // treated as one ONLY when the canaries also show load —
+    // a quiet-box collapse is reported as the regression it is.
+    // Fail loudly: dump per-level stage times, re-measure once, flag
+    // `anomalous` (+kind) if it persists — never silently discarded.
     def dumpStages(tag: String, runs: Seq[ReplayBench.PipelineStats]): Unit =
       runs.foreach { r =>
         System.err.println(f"[bench] $tag wall=${r.wallSec}%.2fs thr=${r.throughput}%.0f " +
           r.stageSec.map { case (k, v) => f"$k=$v%.2fs" }.mkString(" "))
       }
-    def implausible(e: Double): Boolean = e > 1.02 || e <= 0.25
-    if (implausible(efficiency)) {
+    def anomalousKind(e: Double): Option[String] =
+      if (e > 1.02) Some("high")
+      else if (e <= 0.25 && contended) Some("low")
+      else None
+    if (anomalousKind(efficiency).isDefined) {
       System.err.println(f"[bench] ANOMALOUS efficiency=$efficiency%.3f " +
         f"(lo ${lo.wallSec}%.2fs, hi ${hi.wallSec}%.2fs) — re-measuring both levels")
       dumpStages(s"local$loLevel", loRuns); dumpStages(s"local$hiLevel", hiRuns)
       hiRuns ++= runLevel(hiLevel, 1)
       loRuns ++= runLevel(loLevel, 2)
       hiRuns ++= runLevel(hiLevel, 1)
-      lo = loRuns.minBy(_.wallSec)
-      hi = hiRuns.minBy(_.wallSec)
+      contended = cleanHi(hiRuns).isEmpty || cleanLo(loRuns).isEmpty
+      lo = cleanLo(loRuns).getOrElse(loRuns.minBy(_.wallSec))
+      hi = cleanHi(hiRuns).getOrElse(hiRuns.minBy(_.wallSec))
       efficiency = eff(lo, hi)
     }
-    val anomalous = implausible(efficiency)
-    if (anomalous) {
+    val anomalous = anomalousKind(efficiency)
+    if (anomalous.isDefined) {
       System.err.println(f"[bench] efficiency STILL anomalous after re-measure: " +
         f"$efficiency%.3f — emitting with \"anomalous\":true; do not trust this number")
       dumpStages(s"local$loLevel", loRuns); dumpStages(s"local$hiLevel", hiRuns)
@@ -139,22 +231,69 @@ object Bench {
     // JVM-global — without it the first queries in map order absorb it
     // and per-query attribution shifts whenever the map's iteration
     // order changes), then min-of-2 measured sweeps per query.
-    val results: Map[String, Double] =
-      if (sys.env.contains("SPARK_GRAFT_BENCH_SKIP_QUERIES")) Map.empty
+    // The sweep window is BRACKETED by spark-canary readings (same
+    // frozen mini-job as the scaling gate, on the query session), so a
+    // driver-artifact per-query regression is adjudicable in-artifact:
+    // canaries at the local[32] nominal → engine; inflated → box.
+    val (results, failedQueries, queryCanaries) =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_SKIP_QUERIES")) (Map.empty[String, Double], Nil, Nil)
       else {
         val s1 = session(cpus, cpus)
-        def sweep(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
-          val t0 = System.nanoTime()
-          try { fn(s1, sfDir).count() } catch { case _: Throwable => -1L }
-          name -> (System.nanoTime() - t0) / 1e9
-        }
-        sweep() // discarded warm-up sweep
-        val m1 = sweep()
-        val m2 = sweep()
+        BenchLevel.sparkCanary(s1) // codegen warm-up
+        val cPre = BenchLevel.sparkCanary(s1)
+        val (times, failed) = runQueries(s1, sfDir, SparkEntry.queries)
+        val cPost = BenchLevel.sparkCanary(s1)
         s1.stop()
-        m1.map { case (k, v) => k -> math.min(v, m2(k)) }
+        (times, failed, Seq(cPre, cPost))
       }
 
+    emit(hi, lo, efficiency, anomalous, contended, parNominal, extCpuMax,
+      results, failedQueries, queryCanaries, sfDir, loLevel, hiLevel)
+  }
+
+  /** Warmed min-of-2 query sweep (see the phase-2 note in main). A
+    * query that THROWS is reported by name in the `failed` list and
+    * excluded from the timings — r4 recorded a broken query's
+    * time-to-exception as if it were a reading (VERDICT r4 #6).
+    * Failures must survive warm-up AND both measured sweeps to let
+    * transient issues (a concurrently deleted temp dir) self-heal;
+    * any sweep failure of a query discards its timings.
+    */
+  private[graft] def runQueries(s1: SparkSession, sfDir: String,
+                                queries: Map[String, (SparkSession, String) => DataFrame])
+      : (Map[String, Double], Seq[String]) = {
+    def sweep(): (Map[String, Double], Set[String]) = {
+      val times = Map.newBuilder[String, Double]
+      val failed = Set.newBuilder[String]
+      queries.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try {
+          fn(s1, sfDir).count()
+          times += name -> (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] query $name FAILED: ${e.getClass.getSimpleName}: " +
+              s"${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}")
+            failed += name
+        }
+      }
+      (times.result(), failed.result())
+    }
+    sweep() // discarded warm-up sweep
+    val (m1, f1) = sweep()
+    val (m2, f2) = sweep()
+    val failed = (f1 ++ f2).toSeq.sorted
+    val times = (m1.keySet & m2.keySet).diff(failed.toSet)
+      .map(k => k -> math.min(m1(k), m2(k))).toMap
+    (times, failed)
+  }
+
+  private def emit(hi: ReplayBench.PipelineStats, lo: ReplayBench.PipelineStats,
+                   efficiency: Double, anomalous: Option[String], contended: Boolean,
+                   parNominal: Double, extCpuMax: Double,
+                   results: Map[String, Double],
+                   failedQueries: Seq[String], queryCanaries: Seq[Double],
+                   sfDir: String, loLevel: Int, hiLevel: Int): Unit = {
     def statsJson(p: ReplayBench.PipelineStats): String = {
       val stages = p.stageSec.map { case (k, v) => "\"" + k + "\":" + f3(v) }
         .mkString("{", ",", "}")
@@ -166,10 +305,19 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val totalQ = results.values.sum
+    val failedJs = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
       s"""{"metric":"urls_scheduled_fetched_per_sec","value":${f1(hi.throughput)},""" +
         s""""unit":"urls/sec","queries":$qs,"queries_total_sec":${f3(totalQ)},""" +
-        s""""sf":"$sfDir","anomalous":$anomalous,""" +
+        s""""failed":$failedJs,""" +
+        (if (queryCanaries.nonEmpty)
+          s""""query_spark_canary":[${queryCanaries.map(f3).mkString(",")}],"""
+         else "") +
+        s""""sf":"$sfDir",""" +
+        s""""anomalous":${anomalous.isDefined},""" +
+        anomalous.map(k => s""""anomalous_kind":"$k",""").getOrElse("") +
+        s""""contended":$contended,"canary_par_nominal":${f3(parNominal)},""" +
+        s""""ext_cpu_max":${f3(extCpuMax)},""" +
         s""""scaling":{"local$loLevel":${statsJson(lo)},"local$hiLevel":${statsJson(hi)},""" +
         s""""n_lo":$loLevel,"n_hi":$hiLevel,"efficiency":${f3(efficiency)}}}"""
     // stdout for humans/drivers that scrape the log...
@@ -194,15 +342,37 @@ object BenchLevel {
     val Array(level, parts, n, reps) = args.map(_.toLong)
     val s = Bench.session(level.toInt, parts.toInt)
     ReplayBench.run(s, n) // discard: JIT/heap warm-up inside this JVM
-    cpuCanary(); cpuCanaryPar(level.toInt) // JIT the canary loops too
+    // JIT the canary loops too (the mem canary's first call also
+    // absorbs its one-time buffer page-fault cost; the spark canary's
+    // first call pays its own codegen)
+    cpuCanary(); cpuCanaryPar(level.toInt); memCanaryPar(level.toInt)
+    sparkCanary(s)
     (1 to reps.toInt).foreach { _ =>
       val canary = cpuCanary()
       val canaryPar = cpuCanaryPar(level.toInt)
+      val canaryMem = memCanaryPar(level.toInt)
+      val canarySpark = sparkCanary(s)
+      val b0 = procBusySec(); val st0 = procStealSec()
+      val o0 = ownCpuSec(); val t0 = System.nanoTime()
       val p0 = ReplayBench.run(s, n)
-      // the canaries ride the emission as pseudo-stages, so every
-      // reading carries its own box-state evidence
+      val wall = (System.nanoTime() - t0) / 1e9
+      // EXTERNAL-CPU accounting over the rep window: box-wide busy
+      // CPU seconds minus this JVM's own — tenant cores caught IN THE
+      // ACT, not sampled. The canaries alone under-detect bursty
+      // multicore load (measured r4: walls +40% with the 0.15 s
+      // canary window reading within ~10% of nominal).
+      val extCores = (for (b1 <- procBusySec(); b <- b0)
+        yield math.max(0.0, ((b1 - b) - (ownCpuSec() - o0)) / wall)).getOrElse(0.0)
+      // hypervisor steal over the window (cores avg) — a second
+      // guest-visible trace of host-level contention, evidence-only
+      val stealCores = (for (s1 <- procStealSec(); s0 <- st0)
+        yield (s1 - s0) / wall).getOrElse(0.0)
+      // the canaries + external-cpu ride the emission as pseudo-
+      // stages, so every reading carries its own box-state evidence
       val p = p0.copy(stageSec = p0.stageSec +
-        ("cpu_canary" -> canary) + ("cpu_canary_par" -> canaryPar))
+        ("cpu_canary" -> canary) + ("cpu_canary_par" -> canaryPar) +
+        ("mem_canary_par" -> canaryMem) + ("spark_canary" -> canarySpark) +
+        ("ext_cpu_cores" -> extCores) + ("steal_cores" -> stealCores))
       // Locale-pinned (Bench.f3): the parent parses these with toDouble
       val stages = p.stageSec.map { case (k, v) => s"stage:$k=${Bench.f3(v)}" }.mkString(" ")
       println(s"[benchlevel] urls=${p.urlsSeen} scheduled=${p.scheduled} " +
@@ -210,6 +380,32 @@ object BenchLevel {
     }
     s.stop()
   }
+
+  /** Box-wide busy CPU seconds since boot (`/proc/stat` cpu line:
+    * total − idle − iowait, USER_HZ=100). None off-Linux — the
+    * external-cpu gate then degrades to canary-only.
+    */
+  private def procBusySec(): Option[Double] =
+    procStatCols().map(cols =>
+      (cols.sum - cols(3) - (if (cols.length > 4) cols(4) else 0L)) / 100.0)
+
+  /** Hypervisor steal seconds since boot (`/proc/stat` col 8). */
+  private def procStealSec(): Option[Double] =
+    procStatCols().filter(_.length > 7).map(_(7) / 100.0)
+
+  private def procStatCols(): Option[Array[Long]] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try Some(src.getLines().next().split("\\s+").drop(1).map(_.toLong))
+      finally src.close()
+    } catch { case _: Throwable => None }
+
+  /** This JVM's cumulative CPU seconds (sun OperatingSystemMXBean). */
+  private def ownCpuSec(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime / 1e9
+      case _ => 0.0
+    }
 
   /** Fixed single-thread CPU probe (~0.2 s nominal): 2^27 xorshift64
     * steps. A loaded box inflates this the same way it inflates the
@@ -255,6 +451,75 @@ object BenchLevel {
       th.start(); th
     }
     ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** MEMORY-BANDWIDTH canary: `threads` concurrent streaming sums,
+    * each over its own 64 MB long array × 4 passes (256 MB traffic
+    * per thread; buffers allocated once per JVM so later calls pay no
+    * page-fault noise). The CPU canaries are register-only and CANNOT
+    * see the failure mode that actually burned round 5's readings: a
+    * HOST-NEIGHBOR VM saturating the socket's memory bandwidth.
+    * Measured in that state: replay walls +50% at local[8], ext-cpu
+    * ~0.1 cores (guest-invisible by definition), cpu_canary_par
+    * within 10% of nominal — while the single-thread streaming rate
+    * sat at 3.1 GB/s on hardware whose quiet rate is far higher.
+    * Spark rows stream through memory exactly like this probe, so its
+    * wall tracks the engine's sensitivity to the thief. NOTE the wall
+    * grows with `threads` even on a quiet box (the socket saturates);
+    * nominals are per-level (SPARK_GRAFT_CANARY_MEM_NOMINALS, see
+    * Bench.main).
+    */
+  def memCanaryPar(threads: Int): Double = {
+    val words = (64 << 20) / 8
+    val t0 = System.nanoTime()
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val ts = (0 until math.max(1, threads)).map { t =>
+      val th = new Thread(() => {
+        val a = memBufs.computeIfAbsent(t, _ => Array.tabulate(words)(_.toLong))
+        var s = 0L
+        var p = 0
+        while (p < 4) {
+          var i = 0
+          while (i < words) { s += a(i); i += 1 }
+          p += 1
+        }
+        sink.addAndGet(s) // defeat dead-code elimination
+      })
+      th.start(); th
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+  private val memBufs =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+
+  /** SPARK-SHAPED reference canary: a FIXED mini-job — 2^24
+    * synthesized rows hash-aggregated into 2^20 groups — run on the
+    * level's own session. This is the gate's primary probe, for a
+    * reason learned the hard way: round 5 caught the box retiring the
+    * SAME replay instructions ~1.6× slower (hi leg 9.0→13.6 s, task
+    * CPU sums +60%) while the register-only CPU canaries AND a
+    * sequential-streaming memory canary read nominal — the
+    * degradation only showed in random-access latency (pointer-chase
+    * 330 ns vs a ~150–250 ns quiet class), i.e. a host neighbor trashing
+    * LLC/TLB. Rather than enumerate every invisible contention mode,
+    * this probe shares the ENGINE'S instruction mix (codegen'd hash
+    * aggregation, shuffle write+read, object churn), so any box state
+    * that slows the engine slows it proportionally. It is FROZEN BY
+    * CONSTRUCTION — plain Spark API, no graft code — so an engine
+    * regression does NOT move it: quiet canaries + slow replay = real
+    * regression, reported plain; inflated spark canary = box, flagged.
+    */
+  def sparkCanary(s: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    val n = s.range(1L << 24)
+      .select(pmod(xxhash64(col("id")), lit(1L << 20)).as("k"), col("id").as("v"))
+      .groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("c"))
+      .where(col("s") < 0 && col("c") < 0) // empty result, full agg forced
+      .count()
+    require(n == 0L)
     (System.nanoTime() - t0) / 1e9
   }
 

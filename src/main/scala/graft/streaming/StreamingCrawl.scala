@@ -69,13 +69,28 @@ object StreamingCrawl {
     * the manifest IS the sink-side write-ahead log.
     */
   def snapshotSink(stream: DataFrame, root: String, table: String,
-                   queryName: String = "stream"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+                   queryName: String = "stream"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      commitBatch(root, table, queryName)(batch, batchId)
+      ()
+    }
+
+  /** The foreachBatch body behind [[snapshotSink]], extracted so the
+    * exactly-once guard is directly testable (StreamingSpec invokes it
+    * twice with one batch id and asserts a single commit — the path a
+    * post-restart replay takes).
+    *
+    * Returns true iff the batch was committed (false = replay skipped).
+    */
+  private[graft] def commitBatch(root: String, table: String, queryName: String)
+                                (batch: DataFrame, batchId: Long): Boolean = {
     val batchKey = s"stream_batch:$queryName"
-    // The last committed batch id may sit a few commits back if other
-    // writers (the batch crawl) interleave — walk the parent chain
-    // until found (the sink re-carries the key on every commit, so
-    // the walk is short; expiry bounds it absolutely). A deleted
-    // (expired) parent manifest ends the walk.
+    // stream_batch:* props are STICKY in the commit protocol (every
+    // commit carries the parent's forward — SnapshotLog.commit), so
+    // the watermark normally sits right at HEAD whatever interleaves,
+    // and survives expiry as long as ANY snapshot survives. The
+    // parent-chain walk below is belt-and-braces for logs written
+    // before stickiness existed.
     def lastCommitted(log: graft.snapshot.SnapshotLog): Option[Long] = {
       var cur = log.latest()
       while (cur.isDefined) {
@@ -89,20 +104,13 @@ object StreamingCrawl {
       }
       None
     }
-    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val log = new graft.snapshot.SnapshotLog(root)
-      log.init()
-      val already = lastCommitted(log)
-      if (!already.exists(_ >= batchId)) {
-        // carry every query's latest batch id forward so concurrent
-        // sinks into one log do not erase each other's idempotence
-        val carried = log.latest().map(_.props).getOrElse(Map.empty)
-          .filter { case (k, _) => k.startsWith("stream_batch:") }
-        log.commit(Map(table -> batch), Map.empty,
-          carried + (batchKey -> batchId.toString))
-      }
-      ()
-    }
+    val log = new graft.snapshot.SnapshotLog(root)
+    log.init()
+    val already = lastCommitted(log)
+    val fresh = !already.exists(_ >= batchId)
+    if (fresh)
+      log.commit(Map(table -> batch), Map.empty, Map(batchKey -> batchId.toString))
+    fresh
   }
 
   def politenessStream(tasks: Dataset[StreamTask], saltCount: Int, tokensPerTick: Int,

@@ -81,12 +81,28 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "HashAggregate") >= 2, s"map-side partial agg expected:\n$p")
   }
 
-  test("dedup_simhash_pairs: banded equi-join, never a cartesian") {
-    val p = plan("dedup_simhash_pairs")
-    assert(count(p, "CartesianProduct") == 0 && count(p, "BroadcastNestedLoopJoin") == 0,
-      s"the 4x16-bit band blocking must plan as an equi-join:\n$p")
-    // the fingerprint build is one partial-aggregated groupBy(id)
-    assert(count(p, "HashAggregate") >= 2, s"map-side partial agg expected:\n$p")
+  test("dedup_simhash_pairs: banded equi-join, never a cartesian, filter before distinct") {
+    // the query entry returns a materialized checkpoint (cache
+    // lifecycle, VERDICT r4 #4) — gate the LAZY plan behind it
+    val docs = Tables.load(spark, d, "documents")
+    val (fp, lazyPairs) = graft.ops.DedupOps.simhashPairsLazy(docs, "doc_id", "text", 3)
+    try {
+      val p = lazyPairs.queryExecution.executedPlan.toString
+      assert(count(p, "CartesianProduct") == 0 && count(p, "BroadcastNestedLoopJoin") == 0,
+        s"the 4x16-bit band blocking must plan as an equi-join:\n$p")
+      // the fingerprint build is one partial-aggregated groupBy(id)
+      assert(count(p, "HashAggregate") >= 2, s"map-side partial agg expected:\n$p")
+      // the hamming verify must run BELOW the pair-dedup so the
+      // distinct exchange carries only qualifying pairs — Catalyst in
+      // fact pushes the predicate all the way into the band join's
+      // condition (bit_count(xor) <= 3 evaluated per candidate row)
+      val lines = p.split("\n")
+      val distinctIdx = lines.indexWhere(l =>
+        l.contains("HashAggregate(keys=[id_a"))
+      val verifyIdx = lines.indexWhere(_.contains("<= 3"))
+      assert(distinctIdx >= 0 && verifyIdx > distinctIdx,
+        s"hamming verify must sit below the pair-dedup aggregate:\n$p")
+    } finally fp.unpersist()
   }
 
   test("dedup_ngram_jaccard: df-cap is a partial-agg anti-join, not a shingle window") {
@@ -102,6 +118,22 @@ class PlanSpec extends SparkSpec {
       val p = plan(q)
       assert(count(p, "Exchange") == 0, s"$q must stay a narrow map:\n$p")
     }
+  }
+
+  test("text_pack_sequences: the only unpartitioned window runs over SUPER totals") {
+    // Two-level distributed scan (VERDICT r4 #7): the data rows see a
+    // __bkt-partitioned window, bucket totals see a __sup-partitioned
+    // window, and the single global-order (unpartitioned) window in
+    // the plan cumsums the super totals — N/bucketWidth² rows, never
+    // anything data-proportional. WindowExec prints `Window [exprs],
+    // [partSpec], [orderSpec]` when partitioned and omits the middle
+    // list when not.
+    val p = plan("text_pack_sequences")
+    val winLines = p.split("\n").filter(_.contains("Window ["))
+    val unpart = winLines.filter(l => "\\], \\[".r.findAllIn(l).size == 1)
+    assert(winLines.length == 3, s"expected 3 window nodes:\n$p")
+    assert(unpart.length == 1 && unpart.head.contains("__stot"),
+      s"exactly one unpartitioned window, over the super totals only:\n$p")
   }
 
   test("text_contamination: shingle overlap is an equi-join, no cartesian") {

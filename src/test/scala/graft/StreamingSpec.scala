@@ -70,14 +70,14 @@ class StreamingSpec extends SparkSpec {
       assert(log.readTable(s, snap, "feed").get.count() == 3)
       assert(snap.props("stream_batch:q1") == "1")
       // replaying an already-committed batch id must NOT double-commit
-      // (restart semantics: Structured Streaming re-runs the last batch)
+      // (restart semantics: Structured Streaming re-runs the last
+      // batch) — invoke the SAME foreachBatch body with batch id 1
       val before = log.latest().get.id
-      StreamingCrawl.snapshotSink(in.toDF().toDF("url", "n"), root, "feed", "q1")
-      // simulate the replay directly through the same foreachBatch body:
-      // a fresh query restarted from the checkpoint re-offers batch 1 —
-      // here we assert the guard via the recorded props
-      assert(log.latest().flatMap(_.props.get("stream_batch:q1")).contains("1"))
-      assert(log.latest().get.id == before)
+      val replayed = StreamingCrawl.commitBatch(root, "feed", "q1")(
+        Seq(("a", 1L)).toDF("url", "n"), 1L)
+      assert(!replayed, "an already-committed batch id must be skipped")
+      assert(log.latest().get.id == before, "replay must not advance the log")
+      assert(log.readTable(s, log.latest().get, "feed").get.count() == 3)
       // a batch-side commit interleaving does not break the guard: the
       // sink finds its batch id through the parent chain
       log.commit(Map("other" -> Seq(9L).toDF("x")), Map.empty, Map("round" -> "77"))
@@ -91,6 +91,32 @@ class StreamingSpec extends SparkSpec {
         .option("root", root).option("table", "feed").load()
       assert(viaSource.count() == 4)
     } finally q.stop()
+  }
+
+  test("snapshot sink: exactly-once survives interleaved commits + expiry (sticky watermark)") {
+    // The r4 degradation path (ADVICE): non-carrying commits bury the
+    // sink's manifest, expiry deletes it, lastCommitted → None, a
+    // replayed batch double-commits. stream_batch:* props are now
+    // STICKY in SnapshotLog.commit, so the watermark survives both.
+    val s = spark; import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("stream-sink-exp").toString
+    val log = new graft.snapshot.SnapshotLog(root)
+    assert(StreamingCrawl.commitBatch(root, "feed", "qx")(
+      Seq(("a", 1L)).toDF("url", "n"), 0L))
+    // three non-sink commits, then expire every manifest the sink wrote
+    (1 to 3).foreach { i =>
+      log.commit(Map("t" -> Seq(i).toDF("x")), Map.empty, Map("round" -> i.toString))
+    }
+    log.expireSnapshots(keepLast = 1)
+    assert(log.latest().get.props("stream_batch:qx") == "0", "watermark must ride HEAD")
+    // a post-restart replay of batch 0 is STILL skipped…
+    assert(!StreamingCrawl.commitBatch(root, "feed", "qx")(
+      Seq(("a", 1L)).toDF("url", "n"), 0L))
+    assert(log.readTable(s, log.latest().get, "feed").get.count() == 1)
+    // …and a genuinely new batch commits
+    assert(StreamingCrawl.commitBatch(root, "feed", "qx")(
+      Seq(("b", 2L)).toDF("url", "n"), 1L))
+    assert(log.readTable(s, log.latest().get, "feed").get.count() == 2)
   }
 
   test("snapshot maintenance: compactTable collapses HEAD dirs; expiry bounds history") {

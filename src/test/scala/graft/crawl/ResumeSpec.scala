@@ -246,6 +246,116 @@ class ResumeSpec extends SparkSpec {
     assert(log.readTable(spark, s1, "t").get.count() == 2)
   }
 
+  test("append schema enforcement: mismatched delta fails loudly, everywhere") {
+    val root = Files.createTempDirectory("crawl-schema").toString
+    val log = new SnapshotLog(root)
+    log.init()
+    import spark.implicits._
+    log.commit(Map("t" -> Seq(("a", 1)).toDF("k", "v")), Map.empty, Map("round" -> "0"))
+    // column ORDER is free (parquet resolves by name)…
+    log.commit(Map("t" -> Seq((2, "b")).toDF("v", "k")), Map.empty, Map("round" -> "1"))
+    assert(log.readTable(spark, log.latest().get, "t").get.count() == 2)
+    // …but a missing column, an extra column, and a retyped column all
+    // fail BEFORE writing (no orphan delta, manifest not advanced)
+    val head = log.latest().get.id
+    Seq(
+      Seq("x").toDF("k"),                        // missing v
+      Seq(("x", 1, true)).toDF("k", "v", "w"),   // extra w
+      Seq(("x", 9L)).toDF("k", "v")              // v int → bigint
+    ).foreach { bad =>
+      val e = intercept[IllegalArgumentException] {
+        log.commit(Map("t" -> bad), Map.empty, Map("round" -> "2"))
+      }
+      assert(e.getMessage.contains("schema mismatch"), e.getMessage)
+    }
+    assert(log.latest().get.id == head, "failed appends must not advance the log")
+    // DSv2 append path hits the same gate
+    val e2 = intercept[Exception] {
+      Seq("x").toDF("k").write.format("graft-snapshot")
+        .option("root", root).option("table", "t").mode("append").save()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e2).exists(_.contains("schema mismatch")), chain(e2).mkString(" | "))
+    // schema EVOLUTION is the replace commit: allowed, and appends
+    // must then match the new signature
+    log.commit(Map.empty, Map("t" -> Seq(("z", 9L)).toDF("k", "v")), Map("round" -> "3"))
+    log.commit(Map("t" -> Seq(("w", 8L)).toDF("k", "v")), Map.empty, Map("round" -> "4"))
+    assert(log.readTable(spark, log.latest().get, "t").get.count() == 2)
+    // legacy manifests (no schemas field) still enforce via one footer
+    // read: strip the field from HEAD and retry a bad append
+    val mPath = java.nio.file.Paths.get(root).toFile.listFiles()
+      .filter(_.getName.startsWith("snapshot-")).maxBy(_.getName).toPath
+    val js = java.nio.file.Files.readString(mPath)
+    java.nio.file.Files.writeString(mPath,
+      js.replaceAll(""", "schemas": \{[^}]*\}""", ""))
+    assert(log.latest().get.schemas.isEmpty, "legacy manifest fixture must have no schemas")
+    val e3 = intercept[IllegalArgumentException] {
+      log.commit(Map("t" -> Seq("x").toDF("k")), Map.empty, Map("round" -> "5"))
+    }
+    assert(e3.getMessage.contains("schema mismatch"), e3.getMessage)
+  }
+
+  test("concurrent commits serialize: the manifest race loser rebuilds and retries") {
+    val root = Files.createTempDirectory("crawl-race").toString
+    import spark.implicits._
+    val logA = new SnapshotLog(root)
+    val logB = new SnapshotLog(root)
+    logA.commit(Map("a" -> Seq(1).toDF("x")), Map.empty, Map("round" -> "0"))
+    // deterministically interleave: B commits between A's manifest
+    // render and publish, so A loses the id race and must rebuild
+    var fired = false
+    logA.beforePublish = () => if (!fired) {
+      fired = true
+      logB.commit(Map("b" -> Seq(2L).toDF("y")), Map.empty, Map("winner" -> "b"))
+    }
+    val snapA = logA.commit(Map("a" -> Seq(3).toDF("x")), Map.empty, Map("loser" -> "a"))
+    logA.beforePublish = () => ()
+    assert(fired, "the interleaved commit must have run")
+    // BOTH commits survive: B took the contested id, A retried onto
+    // the next one and rebuilt its table map over B's head
+    val head = logA.latest().get
+    assert(head.id == snapA.id && snapA.props("loser") == "a")
+    assert(logA.read(head.parent).props("winner") == "b")
+    assert(logA.readTable(spark, head, "a").get.count() == 2, "A's delta kept")
+    assert(logA.readTable(spark, head, "b").get.count() == 1, "B's delta kept (not dropped)")
+  }
+
+  test("resume survives a non-crawl HEAD (maintenance / DSv2 / sink commits)") {
+    val root = Files.createTempDirectory("crawl-resume-maint").toString
+    val log = new SnapshotLog(root)
+    log.init()
+    import spark.implicits._
+    // crawl 2 rounds, then interleave every non-crawl commit flavor
+    var snap = log.commit(
+      deltas = Map.empty,
+      replaced = Map(
+        CrawlJob.ListingTable -> CrawlJob.seedListing(seeds).toDS().toDF(),
+        CrawlJob.DocsFrontierTable -> spark.emptyDataset[graft.model.DocTask].toDF()),
+      props = Map("round" -> "-1", "done" -> "false"))
+    (0 until 2).foreach { r =>
+      val rr = CrawlJob.runRound(spark, cfg, log, snap, r)
+      snap = log.read(rr.snapshotId)
+    }
+    log.compactTable(spark, CrawlJob.SeenTable)                       // maintenance
+    Seq(7L).toDF("n").write.format("graft-snapshot")                  // DSv2 save
+      .option("root", root).option("table", "sidecar").mode("append").save()
+    graft.streaming.StreamingCrawl.commitBatch(root, "feed", "q")(    // sink batch
+      Seq(("u", 1L)).toDF("url", "n"), 0L)
+    assert(!log.latest().get.props.contains("round"), "HEAD must be non-crawl")
+    // run() must walk to the last crawl commit and continue at round 2
+    val resumed = CrawlJob.run(spark, seeds, cfg, root)
+    assert(resumed.nonEmpty && resumed.head.round == 2,
+      s"resume must continue at round 2, got ${resumed.headOption.map(_.round)}")
+    assert(resumed.last.docsPending == 0, "crawl must drain to completion")
+    // the golden equality: same tables as an uninterrupted run
+    val rootA = Files.createTempDirectory("crawl-uninterrupted2").toString
+    CrawlJob.run(spark, seeds, cfg, rootA)
+    Seq(CrawlJob.SeenTable, CrawlJob.DocsTable, CrawlJob.ResultsTable).foreach { t =>
+      assert(tableRows(rootA, t) == tableRows(root, t), s"table $t after maintenance resume")
+    }
+  }
+
   test("torn manifest write does not corrupt the log (atomic commit)") {
     val root = Files.createTempDirectory("crawl-torn").toString
     val log = new SnapshotLog(root)
