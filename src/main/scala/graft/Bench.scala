@@ -158,11 +158,21 @@ object Bench {
     val (sparkNomLo, sparkNomHi) = (sparkNominals(0), sparkNominals(1))
     val extCpuMax = sys.env.getOrElse("SPARK_GRAFT_EXT_CPU_MAX", "1.0").toDouble
     val contendedFactor = 1.3
+    // names every breached probe with its reading vs bound, so the
+    // retry log says WHY a reading was discounted
+    def breaches(memNominal: Double, sparkNominal: Double)(r: ReplayBench.PipelineStats)
+        : Seq[String] = {
+      val bounds = Seq(
+        ("cpu_canary_par", parNominal * contendedFactor),
+        ("mem_canary_par", memNominal * contendedFactor),
+        ("spark_canary", sparkNominal * contendedFactor),
+        ("ext_cpu_cores", extCpuMax))
+      bounds.flatMap { case (k, max) =>
+        r.stageSec.get(k).filter(_ > max).map(v => s"$k=${f3(v)}>${f3(max)}")
+      }
+    }
     def clean(memNominal: Double, sparkNominal: Double)(r: ReplayBench.PipelineStats): Boolean =
-      r.stageSec.get("cpu_canary_par").forall(_ <= parNominal * contendedFactor) &&
-        r.stageSec.get("mem_canary_par").forall(_ <= memNominal * contendedFactor) &&
-        r.stageSec.get("spark_canary").forall(_ <= sparkNominal * contendedFactor) &&
-        r.stageSec.get("ext_cpu_cores").forall(_ <= extCpuMax)
+      breaches(memNominal, sparkNominal)(r).isEmpty
     def cleanMin(runs: Seq[ReplayBench.PipelineStats], memNominal: Double,
                  sparkNominal: Double): Option[ReplayBench.PipelineStats] = {
       val c = runs.filter(clean(memNominal, sparkNominal))
@@ -170,12 +180,19 @@ object Bench {
     }
     def cleanHi(runs: Seq[ReplayBench.PipelineStats]) = cleanMin(runs, memNomHi, sparkNomHi)
     def cleanLo(runs: Seq[ReplayBench.PipelineStats]) = cleanMin(runs, memNomLo, sparkNomLo)
+    def logBreaches(tag: String, runs: Seq[ReplayBench.PipelineStats],
+                    memNominal: Double, sparkNominal: Double): Unit =
+      runs.foreach { r =>
+        val b = breaches(memNominal, sparkNominal)(r)
+        if (b.nonEmpty) System.err.println(
+          s"[bench] $tag wall=${f3(r.wallSec)} CONTENDED: ${b.mkString(", ")}")
+      }
     var retries = 0
     while ((cleanHi(hiRuns).isEmpty || cleanLo(loRuns).isEmpty) && retries < 3) {
       retries += 1
-      System.err.println(s"[bench] contended canaries (par nominal ${f3(parNominal)}, " +
-        s"mem nominals ${f3(memNomLo)}/${f3(memNomHi)}, factor $contendedFactor) — " +
-        s"retry $retries/3 after spacing")
+      logBreaches(s"local$loLevel", loRuns, memNomLo, sparkNomLo)
+      logBreaches(s"local$hiLevel", hiRuns, memNomHi, sparkNomHi)
+      System.err.println(s"[bench] contended canaries — retry $retries/3 after spacing")
       Thread.sleep(15000)
       if (cleanHi(hiRuns).isEmpty) hiRuns ++= runLevel(hiLevel, 1)
       if (cleanLo(loRuns).isEmpty) loRuns ++= runLevel(loLevel, 1)

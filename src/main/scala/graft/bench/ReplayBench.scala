@@ -62,19 +62,25 @@ object ReplayBench {
     */
   private final class StageDump extends org.apache.spark.scheduler.SparkListener {
     val rows = scala.collection.mutable.ArrayBuffer
-      .empty[(Int, String, Int, Double, Double, Double)]
+      .empty[(Int, String, Int, Double, Double, Double, Double, Double, Double)]
     override def onStageCompleted(
         sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
       val i = sc.stageInfo
       val wall = (for {a <- i.submissionTime; b <- i.completionTime} yield (b - a) / 1e3)
         .getOrElse(-1.0)
+      val m = i.taskMetrics
       rows += ((i.stageId, i.name.takeWhile(_ != '\n').take(60), i.numTasks,
-        wall, i.taskMetrics.executorRunTime / 1e3, i.taskMetrics.executorCpuTime / 1e9))
+        wall, m.executorRunTime / 1e3, m.executorCpuTime / 1e9,
+        m.shuffleWriteMetrics.bytesWritten / 1e6,
+        m.shuffleReadMetrics.totalBytesRead / 1e6,
+        (m.memoryBytesSpilled + m.diskBytesSpilled) / 1e6))
     }
     def dump(tag: String): Unit = {
-      rows.sortBy(-_._4).take(14).foreach { case (id, name, nt, wall, run, cpu) =>
-        System.err.println(f"[stagedump $tag] id=$id tasks=$nt wall=$wall%.2fs " +
-          f"taskRunSum=$run%.2fs taskCpuSum=$cpu%.2fs $name")
+      rows.sortBy(-_._4).take(14).foreach {
+        case (id, name, nt, wall, run, cpu, sw, sr, sp) =>
+          System.err.println(f"[stagedump $tag] id=$id tasks=$nt wall=$wall%.2fs " +
+            f"taskRunSum=$run%.2fs taskCpuSum=$cpu%.2fs " +
+            f"shWr=${sw}%.0fMB shRd=${sr}%.0fMB spill=${sp}%.0fMB $name")
       }
       rows.clear()
     }
@@ -121,11 +127,18 @@ object ReplayBench {
     mark("state_setup")
     val t0 = System.nanoTime()
 
-    // F1/F2 filters
-    val yearsRe = "2023|2024"
+    // F1/F2 filters (regex-free F1 — Report.titleFilter scaladoc)
     val kept = cand.where(
-      (col("title").rlike(yearsRe) || !col("title").rlike("\\d")) &&
+      graft.report.Report.titleFilter(Seq(2023, 2024))(col("title")) &&
         !col("title").contains("摘要") && !col("title").contains("英文版"))
+      // EXPLICIT width prune before the dedup exchange: min_by's
+      // struct buffer defeats nested-column pruning, so without this
+      // the first-wins exchange ships every generator column — title
+      // (~60 B of CJK), time_ms, time_str, adjunct_url — that nothing
+      // downstream of the dedup reads (the schedule/fetch leg needs
+      // only key, url, priority, code, seq). At 20M URLs this is the
+      // single biggest exchange in the job; prune at the source.
+      .select("seen_key", "url", "epoch_day", "sec_code_raw", "arrival_seq")
 
     // first-wins dedup (A1): hash agg with map-side combine
     val first = SeenFilter.firstWinsAgg(kept, Seq("seen_key"), "arrival_seq")

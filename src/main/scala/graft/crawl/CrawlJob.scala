@@ -352,8 +352,8 @@ object CrawlJob {
         "title", "time_ms", "time_str", "adjunct_url", "arrival_seq", "page_depth")
 
     // ---- 2. filters F1/F2 + canonicalization ------------------------
-    val yearsRe = cfg.targetYears.mkString("|")
-    val passes = (col("title").rlike(yearsRe) || !col("title").rlike("\\d")) &&
+    // F1 via Report.titleFilter (regex-free; see its scaladoc)
+    val passes = graft.report.Report.titleFilter(cfg.targetYears)(col("title")) &&
       !col("title").contains("摘要") && !col("title").contains("英文版")
     val candidates = anns
       .withColumn("__passes", passes)

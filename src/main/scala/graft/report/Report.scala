@@ -19,10 +19,19 @@ object Report {
   /** Target report years for filter F1 (cninfo_report_crawler.py:
     * 111-122 — intended semantics; the reference's version raises
     * NameError on the missing `re` import and silently drops rows).
+    *
+    * Deliberately regex-free: the original `rlike("2023|2024") ||
+    * !rlike("\\d")` ran two Java-regex matchers per row over the
+    * hottest column in the engine (every candidate title, every
+    * round). A fixed-literal alternation is `contains` (codegen'd
+    * indexOf), and "has no ASCII digit" is `translate(c, digits, "")
+    * === c` (one char scan) — semantically identical including null
+    * propagation, measurably cheaper at the 20M-row scale point.
     */
   def titleFilter(targetYears: Seq[Int]) = {
-    val yearsRe = targetYears.mkString("|")
-    (c: org.apache.spark.sql.Column) => c.rlike(yearsRe) || !c.rlike("\\d")
+    (c: org.apache.spark.sql.Column) =>
+      targetYears.map(y => c.contains(y.toString)).reduce(_ || _) ||
+        translate(c, "0123456789", "") === c
   }
 
   /** Stage-1 postprocess (cninfo_report_crawler.py:515-537):
