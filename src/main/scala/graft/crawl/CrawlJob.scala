@@ -366,8 +366,13 @@ object CrawlJob {
 
     // ---- 3. within-batch first-wins (A1) — hash aggregate with
     // map-side combine (not a window: dup-heavy batches shrink
-    // before the exchange)
-    val batchFirst = SeenFilter.firstWinsAgg(kept, Seq("seen_key"), "arrival_seq")
+    // before the exchange). Width prune first: url/seen_key are
+    // derived, nothing downstream reads adjunct_url or the filter
+    // flag — and min_by's struct buffer would otherwise carry them
+    // through the shuffle (nested-column pruning does not reach into
+    // agg buffers; measured at the 10x bench point).
+    val batchFirst = SeenFilter.firstWinsAgg(
+      kept.drop("adjunct_url", "__passes"), Seq("seen_key"), "arrival_seq")
     mark("pb_filters")
 
     // ---- 4. bloom pre-filter + exact anti-join vs seen --------------
