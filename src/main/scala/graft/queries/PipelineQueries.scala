@@ -217,8 +217,9 @@ object PipelineQueries {
       // cache per bench sweep ("Asked to cache already cached data"
       // warnings; VERDICT r4 #4). connectedComponents is already
       // cache-neutral (returns a checkpoint, releases its persists).
-      val packed = TextOps.packSequences(kept, "doc_id", "text", seqLen = 512)
-        .localCheckpoint()
+      // Reliable checkpoint when a dir is configured (ADVICE r5).
+      val packed = graft.ops.Checkpoints.materialize(
+        TextOps.packSequences(kept, "doc_id", "text", seqLen = 512))
       qq.unpersist()
       packed
     }))

@@ -29,8 +29,13 @@ object Report {
     * propagation, measurably cheaper at the 20M-row scale point.
     */
   def titleFilter(targetYears: Seq[Int]) = {
+    // foldLeft over lit(false), not reduce: an EMPTY target_years must
+    // degrade to the digit-free branch alone (the reference keeps only
+    // digit-free titles then) — reduce on Nil threw at plan-build time
+    // (ADVICE r5).
     (c: org.apache.spark.sql.Column) =>
-      targetYears.map(y => c.contains(y.toString)).reduce(_ || _) ||
+      targetYears.map(y => c.contains(y.toString))
+        .foldLeft(lit(false))(_ || _) ||
         translate(c, "0123456789", "") === c
   }
 

@@ -84,6 +84,18 @@ object StreamingCrawl {
     */
   private[graft] def commitBatch(root: String, table: String, queryName: String)
                                 (batch: DataFrame, batchId: Long): Boolean = {
+    val log = new graft.snapshot.SnapshotLog(root)
+    log.init()
+    commitBatchWith(log, table, queryName)(batch, batchId)
+  }
+
+  /** [[commitBatch]] with an injected log — the test seam for the
+    * zombie-driver race (the spec arms the zombie log's beforePublish
+    * hook to let a live driver commit the same batch id first).
+    */
+  private[graft] def commitBatchWith(log: graft.snapshot.SnapshotLog,
+                                     table: String, queryName: String)
+                                    (batch: DataFrame, batchId: Long): Boolean = {
     val batchKey = s"stream_batch:$queryName"
     // stream_batch:* props are STICKY in the commit protocol (every
     // commit carries the parent's forward — SnapshotLog.commit), so
@@ -91,8 +103,9 @@ object StreamingCrawl {
     // and survives expiry as long as ANY snapshot survives. The
     // parent-chain walk below is belt-and-braces for logs written
     // before stickiness existed.
-    def lastCommitted(log: graft.snapshot.SnapshotLog): Option[Long] = {
-      var cur = log.latest()
+    def lastCommittedFrom(log: graft.snapshot.SnapshotLog,
+                          head: Option[graft.snapshot.SnapshotLog.Snapshot]): Option[Long] = {
+      var cur = head
       while (cur.isDefined) {
         cur.get.props.get(batchKey) match {
           case Some(v) => return Some(v.toLong)
@@ -104,13 +117,24 @@ object StreamingCrawl {
       }
       None
     }
-    val log = new graft.snapshot.SnapshotLog(root)
-    log.init()
-    val already = lastCommitted(log)
-    val fresh = !already.exists(_ >= batchId)
-    if (fresh)
-      log.commit(Map(table -> batch), Map.empty, Map(batchKey -> batchId.toString))
-    fresh
+    // The watermark check is ALSO the commit's precondition, re-checked
+    // against the head inside the publish retry loop (ADVICE r5): a
+    // zombie/failover driver replaying this batchId concurrently with
+    // the live driver can pass the read below on both sides, but only
+    // one CREATE_NEW manifest link wins — the loser re-reads the moved
+    // head, its precondition sees the winner's watermark, and the
+    // commit aborts (returns false) instead of double-publishing.
+    def fresh(head: Option[graft.snapshot.SnapshotLog.Snapshot]): Boolean =
+      !lastCommittedFrom(log, head).exists(_ >= batchId)
+    if (!fresh(log.latest())) false
+    else
+      try {
+        log.commit(Map(table -> batch), Map.empty, Map(batchKey -> batchId.toString),
+          precondition = fresh)
+        true
+      } catch {
+        case _: graft.snapshot.SnapshotLog.CommitPreconditionFailed => false
+      }
   }
 
   def politenessStream(tasks: Dataset[StreamTask], saltCount: Int, tokensPerTick: Int,

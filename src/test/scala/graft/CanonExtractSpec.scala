@@ -16,6 +16,18 @@ class CanonExtractSpec extends SparkSpec {
     input.toDF("v").select(c).collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
   }
 
+  test("F1 titleFilter: empty targetYears degrades to the digit-free branch (ADVICE r5)") {
+    // the reference with empty target_years keeps only digit-free
+    // titles; the old reduce threw on Nil at plan-build time
+    val s = spark; import s.implicits._
+    val titles = Seq("2023年报", "年度报告", "Q3 2022", "报告", null)
+    def keep(years: Seq[Int]): Seq[String] =
+      titles.toDF("title").where(graft.report.Report.titleFilter(years)(col("title")))
+        .collect().map(_.getString(0)).toSeq
+    assert(keep(Nil) == Seq("年度报告", "报告"))
+    assert(keep(Seq(2023)) == Seq("2023年报", "年度报告", "报告"))
+  }
+
   test("URL canonicalizer: column expression == Scala twin (E-str1)") {
     val urls = Seq(
       "HTTPS://Static.Cninfo.COM.cn:443/final/x.pdf#frag",

@@ -42,6 +42,50 @@ class SchedSeenSpec extends SparkSpec {
     out.groupBy(_.tick_index).foreach { case (_, g) => assert(g.length <= 8 * 2) }
   }
 
+  test("default Config politeness parity: cadence quantum + budget vs the reference ceilings") {
+    // VERDICT r5 #8 — the north rule's "same politeness budget"
+    // clause, pinned numerically (the mapping paragraph lives on
+    // CrawlJob.Config's scaladoc). Reference ceilings (SURVEY §6):
+    // 0.3 s/page/stream listing sleep, 30 URLs/page (⇒ ≤100 URLs/s
+    // discovered host-wide — the listing loop is serial), ≤5
+    // concurrent PDF GETs, ≤10 HEAD probes.
+    val cfg = graft.crawl.CrawlJob.Config()
+    // (a) the virtual-clock quantum IS the reference sleep
+    assert(cfg.tickMs == 300L, "tick quantum must equal the reference's 0.3 s sleep")
+    // (b) per-queue budget never exceeds the reference GET pool
+    assert(cfg.tokensPerTick <= 5, "per-queue issue budget must fit the 5-GET pool")
+    // (c) host-wide ceiling ≈ the discovery ceiling: 32 per quantum
+    // vs 30 discovered per quantum (≥, so the frontier never backs up
+    // without bound; within one page's worth, so never ruder than the
+    // listing leg can feed)
+    val hostPerTick = cfg.saltCount * cfg.tokensPerTick
+    assert(hostPerTick >= 30 && hostPerTick <= 2 * 30,
+      s"host budget/quantum $hostPerTick must cover one 30-URL page, within 2x")
+    // (d) listing cadence: one page per stream per round = 2.4
+    // virtual seconds ≥ the reference's 0.3 s/page — politer, never ruder
+    assert(cfg.ticksPerRound * cfg.tickMs >= 300L)
+
+    // and the SCHEDULE actually honors those ceilings on a hot-host
+    // workload: max per (queue, tick) == tokensPerTick; the gap
+    // between successive token windows of one queue == the quantum
+    val s = spark; import s.implicits._
+    val in = (1 to 400).map(i => Scheduler.SchedIn(s"u$i", "static.cninfo.com.cn",
+      (i % 7).toLong, f"t$i%03d"))
+    val out = Scheduler.assignVirtualTicks(in.toDS(), cfg.saltCount,
+      cfg.tokensPerTick, cfg.tickMs).collect()
+    val perQueueTick = out.groupBy(o => (o.salt, o.tick_index)).view.mapValues(_.length)
+    assert(perQueueTick.values.max == cfg.tokensPerTick,
+      "a saturated queue must issue exactly tokensPerTick per quantum")
+    val perTick = out.groupBy(_.tick_index).view.mapValues(_.length)
+    assert(perTick.values.max <= hostPerTick, "host-wide budget per quantum")
+    out.groupBy(_.salt).values.foreach { g =>
+      g.sortBy(_.rank).foreach { o =>
+        assert(o.scheduled_ms == ((o.rank - 1) / cfg.tokensPerTick) * cfg.tickMs,
+          "cadence: the k-th token window of a queue opens at k x 300 ms exactly")
+      }
+    }
+  }
+
   test("robots gate: longest prefix wins, no match allows (ST3)") {
     val s = spark; import s.implicits._
     val rules = Seq(

@@ -119,6 +119,39 @@ class StreamingSpec extends SparkSpec {
     assert(log.readTable(s, log.latest().get, "feed").get.count() == 2)
   }
 
+  test("snapshot sink: zombie driver racing a live driver cannot double-commit a batch") {
+    // ADVICE r5: the exactly-once guard was check-then-commit — a
+    // zombie/failover driver replaying batchId N concurrently with the
+    // live driver passes lastCommitted on both sides. The watermark is
+    // now ALSO the commit precondition, re-checked against the head
+    // inside the publish retry loop: the race loser aborts instead of
+    // publishing N twice. Deterministic interleaving via the zombie
+    // log's beforePublish seam (fires between manifest render and the
+    // CREATE_NEW link).
+    val s = spark; import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("stream-zombie").toString
+    val zombieLog = new graft.snapshot.SnapshotLog(root)
+    zombieLog.init()
+    assert(StreamingCrawl.commitBatchWith(zombieLog, "feed", "qz")(
+      Seq(("a", 1L)).toDF("url", "n"), 0L))
+    var fired = false
+    zombieLog.beforePublish = () => if (!fired) {
+      fired = true // the LIVE driver (its own log instance) wins batch 1
+      assert(StreamingCrawl.commitBatch(root, "feed", "qz")(
+        Seq(("live", 2L)).toDF("url", "n"), 1L))
+    }
+    val zombieWon = StreamingCrawl.commitBatchWith(zombieLog, "feed", "qz")(
+      Seq(("zombie", 2L)).toDF("url", "n"), 1L)
+    zombieLog.beforePublish = () => ()
+    assert(fired, "the live commit must have interleaved")
+    assert(!zombieWon, "the zombie replay must abort, not double-commit")
+    val head = zombieLog.latest().get
+    assert(head.props("stream_batch:qz") == "1")
+    val rows = zombieLog.readTable(s, head, "feed").get
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(rows == Seq("a", "live"), s"exactly one batch-1 delta, got $rows")
+  }
+
   test("snapshot maintenance: compactTable collapses HEAD dirs; expiry bounds history") {
     val s = spark; import s.implicits._
     val root = java.nio.file.Files.createTempDirectory("snap-maint").toString

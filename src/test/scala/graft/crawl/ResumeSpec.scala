@@ -342,7 +342,20 @@ class ResumeSpec extends SparkSpec {
       .option("root", root).option("table", "sidecar").mode("append").save()
     graft.streaming.StreamingCrawl.commitBatch(root, "feed", "q")(    // sink batch
       Seq(("u", 1L)).toDF("url", "n"), 0L)
-    assert(!log.latest().get.props.contains("round"), "HEAD must be non-crawl")
+    // HEAD is a non-crawl commit (the sink's), but round/done are
+    // STICKY (ADVICE r5) so the resume cursor rides it
+    assert(log.latest().get.props.contains("stream_batch:q"), "HEAD must be the sink commit")
+    assert(log.latest().get.props("round") == "1", "sticky round must ride HEAD")
+    // ALSO exercise the legacy walk (logs written before stickiness):
+    // strip the sticky cursor from the HEAD manifest on disk — run()
+    // must then walk the parent chain to the last crawl commit
+    val mPath = java.nio.file.Paths.get(root).toFile.listFiles()
+      .filter(_.getName.startsWith("snapshot-")).maxBy(_.getName).toPath
+    java.nio.file.Files.writeString(mPath,
+      java.nio.file.Files.readString(mPath)
+        .replaceAll(""""round": "[^"]*", """, "")
+        .replaceAll(""""done": "[^"]*", """, ""))
+    assert(!log.latest().get.props.contains("round"), "legacy fixture: HEAD must be non-crawl")
     // run() must walk to the last crawl commit and continue at round 2
     val resumed = CrawlJob.run(spark, seeds, cfg, root)
     assert(resumed.nonEmpty && resumed.head.round == 2,
@@ -353,6 +366,76 @@ class ResumeSpec extends SparkSpec {
     CrawlJob.run(spark, seeds, cfg, rootA)
     Seq(CrawlJob.SeenTable, CrawlJob.DocsTable, CrawlJob.ResultsTable).foreach { t =>
       assert(tableRows(rootA, t) == tableRows(root, t), s"table $t after maintenance resume")
+    }
+  }
+
+  test("expiry keeping only non-crawl commits preserves the resume cursor (sticky round/done)") {
+    // ADVICE r5 (medium): snapshot expiry deletes the crawl commits
+    // while later maintenance/sink commits survive at HEAD. Before
+    // round/done were sticky, run() walked the (now truncated) chain,
+    // found no crawl commit, and silently RESEEDED a finished crawl —
+    // frontier replaced, round reset, done=true lost.
+    val root = Files.createTempDirectory("crawl-expiry-cursor").toString
+    val log = new SnapshotLog(root)
+    import spark.implicits._
+    val full = CrawlJob.run(spark, seeds, cfg, root)
+    assert(full.nonEmpty && log.latest().get.props("done") == "true")
+    val seenBefore = tableRows(root, CrawlJob.SeenTable)
+    // bury the crawl commits under two non-crawl commits, then expire
+    // every crawl manifest
+    log.compactTable(spark, CrawlJob.SeenTable)
+    graft.streaming.StreamingCrawl.commitBatch(root, "feed", "qe")(
+      Seq(("u", 1L)).toDF("url", "n"), 0L)
+    log.expireSnapshots(keepLast = 2)
+    val head = log.latest().get
+    assert(!head.props.contains("urls_seen"), "fixture: crawl commits must be expired")
+    assert(head.props("round") == full.last.round.toString && head.props("done") == "true",
+      "sticky cursor must survive expiry")
+    // resume is a no-op (done), NOT a reseed
+    val resumed = CrawlJob.run(spark, seeds, cfg, root)
+    assert(resumed.isEmpty, "a finished crawl must not re-run after expiry")
+    assert(tableRows(root, CrawlJob.SeenTable) == seenBefore, "seen set must be untouched")
+  }
+
+  test("runRound isolates session conf: concurrent round configs, caller session untouched") {
+    // VERDICT r5 #6: rounds with conf overrides run on
+    // spark.newSession() — the caller's session is never mutated, so
+    // two crawls with DIFFERENT override sets can run concurrently on
+    // one SparkSession (the old mutate-and-restore block raced: one
+    // round's restore clobbered the other's override for whole-round
+    // windows). A watcher thread polls the caller session's conf the
+    // entire time; any drift fails the test.
+    val cfgA = cfg.copy(roundShufflePartitions = 3,
+      roundWholeStageCodegen = false, roundAdaptive = false)
+    val cfgB = cfg.copy(roundShufflePartitions = 5)
+    val keys = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.codegen.wholeStage", "spark.sql.adaptive.enabled")
+    val initial = keys.map(k => k -> spark.conf.get(k)).toMap
+    @volatile var drift: Option[String] = None
+    @volatile var watching = true
+    val watcher = new Thread(() => while (watching) {
+      keys.foreach { k =>
+        val v = spark.conf.get(k)
+        if (v != initial(k) && drift.isEmpty) drift = Some(s"$k changed to $v")
+      }
+      Thread.sleep(2)
+    })
+    watcher.start()
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val rootA = Files.createTempDirectory("crawl-iso-a").toString
+    val rootB = Files.createTempDirectory("crawl-iso-b").toString
+    val (ra, rb) = try {
+      val fa = Future(CrawlJob.run(spark, seeds, cfgA, rootA))
+      val fb = Future(CrawlJob.run(spark, seeds, cfgB, rootB))
+      (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+    } finally { watching = false; watcher.join() }
+    assert(drift.isEmpty, s"caller session conf mutated: $drift")
+    // conf knobs change plan shape only — results must be identical
+    assert(ra.map(_.totals) == rb.map(_.totals), "both crawls must produce equal traces")
+    Seq(CrawlJob.SeenTable, CrawlJob.DocsTable, CrawlJob.ResultsTable).foreach { t =>
+      assert(tableRows(rootA, t) == tableRows(rootB, t), s"table $t concurrent-config parity")
     }
   }
 
