@@ -284,8 +284,18 @@ object CrawlJob {
     var round = crawlProps("round").toInt + 1
     var done = crawlProps.get("done").contains("true")
     var carry = Carry() // first round reads the snapshot (resume path)
+    // ONE isolated session for the whole run when the config overrides
+    // session knobs (see runRound): a session per ROUND would register
+    // one ExecutionListenerBus per round on the shared listener bus —
+    // a crawl is O(100s) of rounds, and bus fan-out grows with every
+    // live session. Isolation only needs caller/run separation, which
+    // one session per run() provides.
+    val roundSession =
+      if (cfg.roundShufflePartitions > 0 || !cfg.roundWholeStageCodegen ||
+          !cfg.roundAdaptive) spark.newSession()
+      else spark
     while (!done && round < cfg.maxRounds) {
-      val r = runRound(spark, cfg, log, snap, round, net, carry)
+      val r = runRoundInner(roundSession, cfg, log, snap, round, net, carry)
       results += r
       snap = log.read(r.snapshotId)
       done = snap.props("done") == "true"

@@ -177,6 +177,9 @@ object DedupOps {
     * partial-aggregated groupBy on the label key — all
     * shuffle-partitioned, nothing driver-side except the fixpoint
     * check (one count per round, monotone: labels only decrease).
+    * The loop carries only PAIR-PARTICIPANT nodes (ids in no pair can
+    * never change labels — they rejoin as their own reps at the end),
+    * so each round shuffles the near-dup subgraph, not the corpus.
     *
     * Each round's plan is TRUNCATED: the jump self-join embeds the
     * previous round's LOGICAL PLAN twice, so without truncation the
@@ -233,7 +236,16 @@ object DedupOps {
       .unionByName(prs.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = ids.select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("label"))
+    // The LOOP runs over PAIR PARTICIPANTS only (round 6): an id in no
+    // pair can never change its label, so carrying it through every
+    // round's join + groupBy + sum is pure dead weight — at the 10^10
+    // design point it is the difference between shuffling the corpus
+    // per round and shuffling the (typically tiny) near-dup subgraph.
+    // Singletons (ids minus participants) rejoin as their own reps
+    // after the fixpoint, so the returned table is identical.
+    val participants = edges.select(col("src").as("id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = participants.select(col("id"), col("id").as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val r = df.agg(sum(col("label").cast("decimal(38,0)"))).first()
@@ -273,12 +285,19 @@ object DedupOps {
         "without converging — cluster_rep labels are NOT a fixpoint")
     edges.unpersist()
     prs.unpersist()
+    // Singletons rejoin as their own representatives (see the loop
+    // note above); the anti-join's build side is the participant set.
     // labels is already materialized (labelSum forced it), so the
-    // checkpoint is one narrow pass over (id, label); releasing the
-    // persist here keeps the operator cache-neutral.
-    val proj = labels.select(col("id").as(idCol), col("label").as("cluster_rep"))
+    // checkpoint is one narrow pass over the spine; releasing the
+    // persists here keeps the operator cache-neutral.
+    val singletons = ids.select(col(idCol).cast("long").as("id"))
+      .join(participants, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("label"))
+    val proj = labels.unionByName(singletons)
+      .select(col("id").as(idCol), col("label").as("cluster_rep"))
     val out = if (reliable) proj.checkpoint() else proj.localCheckpoint()
     labels.unpersist()
+    participants.unpersist()
     out
   }
 

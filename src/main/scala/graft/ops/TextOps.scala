@@ -52,8 +52,14 @@ object TextOps {
   def cjkCount(text: Column): Column =
     size(regexp_extract_all(text, lit(CjkPattern), lit(0)))
 
+  /** Distinct-stopword-hit score. `size(array_intersect)` ≡ the
+    * Σ array_contains formulation (both count DISTINCT stopwords
+    * present; the oracle keeps the sum form) but builds one hash set
+    * per row instead of scanning the token array once per stopword —
+    * O(n + |stops|) vs O(n·|stops|).
+    */
   def langScore(toks: Column, lang: String): Column =
-    stopwords(lang).map(w => array_contains(toks, w).cast("int")).reduce(_ + _)
+    size(array_intersect(toks, typedlit(stopwords(lang))))
 
   /** Language ID over a text column: integer stopword-hit scores for
     * the Latin-token languages, CJK codepoint count for zh, arg-max
@@ -80,7 +86,8 @@ object TextOps {
   def quality(df: DataFrame, text: Column): DataFrame = {
     val toks = tokens(text)
     val allStops = stopwords.values.flatten.toSeq.distinct.sorted
-    val stopCnt = allStops.map(w => array_contains(toks, w).cast("int")).reduce(_ + _)
+    // hash-set intersect, not |stops| array scans (see langScore)
+    val stopCnt = size(array_intersect(toks, typedlit(allStops)))
     df.withColumn("n_chars_m", length(text).cast("long"))
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("n_distinct_tokens", size(array_distinct(toks)).cast("long"))
@@ -183,10 +190,19 @@ object TextOps {
     */
   def repetition(df: DataFrame, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
-    val n = size(toks)
+    // The bigram lambda must reference the MATERIALIZED __t column,
+    // never the tokens(text) expression itself: an expression inside
+    // a HigherOrderFunction body is re-evaluated PER ELEMENT, so
+    // element_at(<regexp_extract_all(...)>, i) runs the full-text
+    // regexp twice per bigram — O(n²) regexp work per doc (measured
+    // 8.5 s → 1.5 s at sf0.1 for this one binding). The column
+    // reference survives optimization because CollapseProject does
+    // not inline a non-cheap alias referenced more than once.
+    val t = col("__t")
+    val n = size(t)
     val bigrams = when(n >= 2,
       transform(sequence(lit(1), n - 1),
-        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
       .otherwise(array().cast("array<string>"))
     df.withColumn("__t", toks)
       .withColumn("n_tokens", size(col("__t")).cast("long"))
