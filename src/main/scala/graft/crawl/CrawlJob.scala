@@ -292,7 +292,7 @@ object CrawlJob {
     // one session per run() provides.
     val roundSession =
       if (cfg.roundShufflePartitions > 0 || !cfg.roundWholeStageCodegen ||
-          !cfg.roundAdaptive) spark.newSession()
+          !cfg.roundAdaptive) isolatedSession(spark)
       else spark
     while (!done && round < cfg.maxRounds) {
       val r = runRoundInner(roundSession, cfg, log, snap, round, net, carry)
@@ -315,18 +315,58 @@ object CrawlJob {
     if (cfg.roundShufflePartitions > 0 || !cfg.roundWholeStageCodegen ||
         !cfg.roundAdaptive) {
       // ISOLATED round session (VERDICT r5 #6): a config that overrides
-      // session knobs runs on spark.newSession() — same SparkContext,
-      // cached blocks and codegen cache, but its OWN SQLConf — so the
-      // caller's session is never mutated and two rounds with
-      // different configs can run concurrently against one
-      // SparkSession without cross-talk (the r4/r5 mutate-and-restore
-      // block was single-tenant by construction). Note newSession()
-      // seeds its conf from the SparkContext's SparkConf, not from the
-      // caller's runtime conf.set calls — the three knobs the round
-      // cares about are set explicitly in runRoundInner; everything
-      // else the round reads is builder-level (context) config.
-      runRoundInner(spark.newSession(), cfg, log, snap, round, net, carry)
+      // session knobs runs on an isolated sibling session — same
+      // SparkContext, cached blocks and codegen cache, but its OWN
+      // SQLConf — so the caller's session is never mutated. ONE such
+      // session per CALLER session, cached (ADVICE r6): a newSession()
+      // per call registers one ExecutionListenerBus per call on the
+      // shared context bus, so an external caller looping runRound
+      // over O(100s) of rounds grew the bus fan-out round after round
+      // — the exact leak run() closes with its one-session-per-run
+      // pattern. The three round knobs are (re)set per call in
+      // runRoundInner, so reuse across different Configs is correct
+      // for sequential calls; CONCURRENT runRound calls with
+      // DIFFERENT override configs against the SAME caller session
+      // would share one SQLConf — use run(), or distinct caller
+      // sessions (spark.newSession()), for that shape.
+      runRoundInner(roundSessionFor(spark), cfg, log, snap, round, net, carry)
     } else runRoundInner(spark, cfg, log, snap, round, net, carry)
+  }
+
+  /** One isolated round session per caller session, created lazily and
+    * reused (see runRound). Weak keys: the cache entry dies with the
+    * caller session, so long-lived JVMs hosting many short-lived
+    * sessions don't accumulate entries.
+    */
+  private val roundSessionCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, SparkSession]())
+
+  private[graft] def roundSessionFor(spark: SparkSession): SparkSession =
+    roundSessionCache.computeIfAbsent(spark, s => isolatedSession(s))
+
+  /** `newSession()` plus runtime-conf inheritance (ADVICE r6): a new
+    * session seeds its SQLConf from the SparkContext's SparkConf, so
+    * any `spark.conf.set` the CALLER made at runtime (time zone, AQE
+    * toggles, broadcast thresholds, ...) would be silently dropped for
+    * the whole crawl — a behavior change from the old
+    * mutate-and-restore shape, which ran on the caller's live conf.
+    * Copy the caller's runtime view over, skipping keys whose value
+    * already matches and swallowing non-modifiable (static/context)
+    * keys, which by construction already agree through the shared
+    * context. The three per-round knobs are then overridden per call
+    * in runRoundInner.
+    */
+  private[graft] def isolatedSession(caller: SparkSession): SparkSession = {
+    val s = caller.newSession()
+    val base = s.conf.getAll
+    caller.conf.getAll.foreach { case (k, v) =>
+      if (!base.get(k).contains(v)) {
+        try s.conf.set(k, v)
+        catch { case _: org.apache.spark.sql.AnalysisException => () }
+      }
+    }
+    s
   }
 
   /** Env-gated round tracing (SPARK_GRAFT_ROUND_DEBUG=1): stderr

@@ -439,6 +439,30 @@ class ResumeSpec extends SparkSpec {
     }
   }
 
+  test("runRound's isolated session is cached per caller and inherits runtime conf") {
+    // ADVICE r6: (a) a newSession() per runRound call registers one
+    // ExecutionListenerBus per call on the shared context bus — a
+    // caller looping runRound leaked listeners round after round; one
+    // cached isolated session per caller session bounds the fan-out.
+    // (b) newSession() seeds SQLConf from the context's SparkConf, so
+    // the caller's runtime spark.conf.set values were silently dropped
+    // inside the round — the isolated session now copies the caller's
+    // runtime view (modulo the three per-round knobs runRoundInner
+    // sets explicitly).
+    val caller = spark.newSession()
+    caller.conf.set("spark.sql.session.timeZone", "America/New_York")
+    caller.conf.set("spark.sql.autoBroadcastJoinThreshold", "12345678")
+    val iso1 = CrawlJob.roundSessionFor(caller)
+    val iso2 = CrawlJob.roundSessionFor(caller)
+    assert(iso1 eq iso2, "one isolated session per caller, reused across rounds")
+    assert(!(iso1 eq caller), "the round session must not BE the caller")
+    assert(iso1.conf.get("spark.sql.session.timeZone") == "America/New_York")
+    assert(iso1.conf.get("spark.sql.autoBroadcastJoinThreshold") == "12345678")
+    // distinct callers get distinct isolated sessions
+    val other = spark.newSession()
+    assert(!(CrawlJob.roundSessionFor(other) eq iso1))
+  }
+
   test("torn manifest write does not corrupt the log (atomic commit)") {
     val root = Files.createTempDirectory("crawl-torn").toString
     val log = new SnapshotLog(root)

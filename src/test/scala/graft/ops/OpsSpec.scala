@@ -98,6 +98,33 @@ class OpsSpec extends SparkSpec {
     assert(got(1L) == "en" && got(4L) == "de")
   }
 
+  test("null text: langScore is NULL, langId still total, qualityGate drops the row") {
+    // ADVICE r6: size(array_intersect) returns −1 for a NULL token
+    // array under legacy sizeOfNull (and NULL under ANSI) where the
+    // old Σ array_contains form — and the DuckDB oracle's retained sum
+    // — return NULL. The explicit isNotNull guard pins NULL-in →
+    // NULL-score regardless of engine setting; this row pins it in a
+    // test because the sf corpora happen to contain no null text (the
+    // 47/47 oracle pass alone would not constrain it).
+    val s = spark; import s.implicits._
+    val rows = Seq((1L, "the cat and the dog run for the hills"),
+                   (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val score = rows.select(col("doc_id"),
+      TextOps.langScore(TextOps.tokens(col("text")), "en").as("sc")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(score(1L).exists(_ > 0))
+    assert(score(2L).isEmpty, "null text must score NULL, not -1")
+    val langs = TextOps.langId(rows, col("text"))
+      .select("doc_id", "pred_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(langs(1L) == "en")
+    assert(langs.contains(2L), "langId stays total over null text")
+    // the curation gate treats null like SQL WHERE: null predicate = drop
+    val kept = rows.where(TextOps.qualityGate(col("text"), 1))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L))
+  }
+
   test("quality counters are exact on a known sentence") {
     val got = TextOps.quality(docs.where(col("doc_id") === 1), col("text"))
       .select("n_tokens", "n_distinct_tokens", "stop_ratio_milli").collect()(0)
