@@ -34,7 +34,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    reported as a plain result — it would be a real regression)
   *  - queries: per-operator wall seconds over SPARK_GRAFT_SF_DIR;
   *    throwing queries are named in "failed" and excluded from the
-  *    timings instead of recording time-to-exception
+  *    timings instead of recording time-to-exception. The sweep is
+  *    contention-gated like the scaling phase (VERDICT r6 #2): its
+  *    spark-canary bracket must sit under 1.3× the query-session
+  *    nominal or the whole sweep re-runs (≤3 attempts, spaced); a
+  *    persistently loud box self-flags "queries_contended":true and
+  *    falls back to per-query min over all attempts
   *
   * Env knobs: SPARK_GRAFT_SF_DIR (query corpus), SPARK_GRAFT_CPUS
   * (query-phase parallelism), SPARK_GRAFT_BENCH_URLS (replay size,
@@ -254,20 +259,62 @@ object Bench {
     // frozen mini-job as the scaling gate, on the query session), so a
     // driver-artifact per-query regression is adjudicable in-artifact:
     // canaries at the local[32] nominal → engine; inflated → box.
-    val (results, failedQueries, queryCanaries) =
-      if (sys.env.contains("SPARK_GRAFT_BENCH_SKIP_QUERIES")) (Map.empty[String, Double], Nil, Nil)
+    // ACTED ON, not just recorded (VERDICT r6 #2): a sweep whose
+    // bracket breaches 1.3× the query-session nominal is re-run
+    // (bounded, with spacing) — r6's driver artifact shipped a sweep
+    // under a [1.118, 2.133] bracket and its late-sweep walls were
+    // silently ~1.5× inflated. If no clean window appears the result
+    // self-flags "queries_contended":true and times fall back to the
+    // per-query min over every attempt (min is the contention-robust
+    // statistic; the flag says how far to trust it).
+    val (results, failedQueries, queryCanaries, queriesContended, queryAttempts) =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_SKIP_QUERIES"))
+        (Map.empty[String, Double], Seq.empty[String], Seq.empty[Double], false, 0)
       else {
         val s1 = session(cpus, cpus)
         BenchLevel.sparkCanary(s1) // codegen warm-up
-        val cPre = BenchLevel.sparkCanary(s1)
-        val (times, failed) = runQueries(s1, sfDir, SparkEntry.queries)
-        val cPost = BenchLevel.sparkCanary(s1)
+        // the query session runs at local[cpus] like the hi scaling
+        // level, but on a different workload mix; its own quiet
+        // nominal (local[32] ≈ 1.44, BENCH/BASELINE.md) is observed
+        // tighter than the scaling hi-leg's 1.7
+        val queryNominal =
+          sys.env.getOrElse("SPARK_GRAFT_CANARY_QUERY_NOMINAL", "1.44").toDouble
+        val gate = queryNominal * contendedFactor
+        val attempts = Seq.newBuilder[(Map[String, Double], Seq[String], Seq[Double])]
+        var accepted: Option[(Map[String, Double], Seq[String], Seq[Double])] = None
+        var n = 0
+        while (n < 3 && accepted.isEmpty) {
+          if (n > 0) {
+            System.err.println(s"[bench] query sweep contended — retry $n/2 after spacing")
+            Thread.sleep(15000)
+          }
+          val cPre = BenchLevel.sparkCanary(s1)
+          val (times, failed) = runQueries(s1, sfDir, SparkEntry.queries)
+          val cPost = BenchLevel.sparkCanary(s1)
+          val rec = (times, failed, Seq(cPre, cPost))
+          attempts += rec
+          if (math.max(cPre, cPost) <= gate) accepted = Some(rec)
+          else System.err.println(
+            f"[bench] query canaries [${f3(cPre)}, ${f3(cPost)}] breach gate ${f3(gate)}")
+          n += 1
+        }
         s1.stop()
-        (times, failed, Seq(cPre, cPost))
+        val all = attempts.result()
+        accepted match {
+          case Some((times, failed, canaries)) => (times, failed, canaries, false, n)
+          case None =>
+            // no clean window: per-query min over all attempts, a name
+            // is failed only if it failed in EVERY attempt
+            val names = all.flatMap(_._1.keySet).toSet
+            val times = names.map(nm => nm -> all.flatMap(_._1.get(nm)).min).toMap
+            val failed = all.map(_._2.toSet).reduce(_ intersect _).toSeq.sorted
+            (times, failed, all.last._3, true, n)
+        }
       }
 
     emit(hi, lo, efficiency, anomalous, contended, parNominal, extCpuMax,
-      results, failedQueries, queryCanaries, sfDir, loLevel, hiLevel)
+      results, failedQueries, queryCanaries, queriesContended, queryAttempts,
+      sfDir, loLevel, hiLevel)
   }
 
   /** Warmed min-of-2 query sweep (see the phase-2 note in main). A
@@ -323,6 +370,7 @@ object Bench {
                    parNominal: Double, extCpuMax: Double,
                    results: Map[String, Double],
                    failedQueries: Seq[String], queryCanaries: Seq[Double],
+                   queriesContended: Boolean, queryAttempts: Int,
                    sfDir: String, loLevel: Int, hiLevel: Int): Unit = {
     def statsJson(p: ReplayBench.PipelineStats): String = {
       val stages = p.stageSec.map { case (k, v) => "\"" + k + "\":" + f3(v) }
@@ -342,6 +390,9 @@ object Bench {
         s""""failed":$failedJs,""" +
         (if (queryCanaries.nonEmpty)
           s""""query_spark_canary":[${queryCanaries.map(f3).mkString(",")}],"""
+         else "") +
+        (if (queryAttempts > 0)
+          s""""queries_contended":$queriesContended,"query_attempts":$queryAttempts,"""
          else "") +
         s""""sf":"$sfDir",""" +
         s""""anomalous":${anomalous.isDefined},""" +
