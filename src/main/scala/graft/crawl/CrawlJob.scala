@@ -608,29 +608,52 @@ object CrawlJob {
         if (n == 0) Iterator.empty
         else Iterator((round, counter, org.apache.spark.TaskContext.getPartitionId(), n))
       }.toDF("round", "counter", "partition_id", "n")
+    // Branches sharing a SOURCE are one pass (round-7 attribution,
+    // BASELINE.md: plan_build + metrics_action were ~50% of a warm
+    // replay round, and the two biggest cached tables were each
+    // scanned twice by sibling counter branches — at the design point
+    // candidates is the O(announcements) table, so the second scan is
+    // a real per-round corpus cost, not just driver latency):
+    //  - urls_seen + filtered fold over candidates ONCE, reading only
+    //    the __passes flag (emitting a filtered row only when > 0, so
+    //    the committed rows are byte-identical to the two-branch form)
+    //  - new_unique + per-stream stream_new:* fold over newUniqueDf's
+    //    three stream columns ONCE (same narrow partitioning, same
+    //    rows as the two branches they replace)
+    val seenAndFiltered = candidates.select(col("__passes"))
+      .mapPartitions { it =>
+        var n = 0L; var f = 0L
+        it.foreach { r => n += 1; if (!r.isNullAt(0) && !r.getBoolean(0)) f += 1 }
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        if (n == 0) Iterator.empty
+        else if (f == 0) Iterator((round, "urls_seen", pid, n))
+        else Iterator((round, "urls_seen", pid, n), (round, "filtered", pid, f))
+      }.toDF("round", "counter", "partition_id", "n")
     // Per-STREAM new-unique counts ride the same narrow job as
     // `stream_new:<exchange>:<day>:<category>` counter rows — the
     // listing-growth feedback (reference empty_pages_count input).
     // Rows ≤ streams × partitions: counter-sized.
-    val streamNew = newUniqueDf.select("exchange_rank", "epoch_day", "category")
+    val newAndStream = newUniqueDf.select("exchange_rank", "epoch_day", "category")
       .mapPartitions { it =>
         val m = scala.collection.mutable.HashMap.empty[String, Long]
+        var n = 0L
         it.foreach { r =>
+          n += 1
           val k = s"stream_new:${r.getInt(0)}:${r.getInt(1)}:${r.getString(2)}"
           m.update(k, m.getOrElse(k, 0L) + 1)
         }
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        m.iterator.map { case (k, n) => (round, k, pid, n) }
+        val head = if (n == 0) Iterator.empty
+                   else Iterator((round, "new_unique", pid, n))
+        head ++ m.iterator.map { case (k, c) => (round, k, pid, c) }
       }.toDF("round", "counter", "partition_id", "n")
     val metricsDelta =
-      partCounts(candidates, "urls_seen")
-        .unionByName(partCounts(candidates.where(!col("__passes")), "filtered"))
-        .unionByName(partCounts(newUniqueDf, "new_unique"))
+      seenAndFiltered
+        .unionByName(newAndStream)
         .unionByName(partCounts(fetchedDocs, "fetched"))
         .unionByName(partCounts(invalidFetch, "invalid"))
         .unionByName(partCounts(deferredNow, "deferred"))
         .unionByName(partCounts(denied, "robots_denied"))
-        .unionByName(streamNew)
         .persist(StorageLevel.MEMORY_AND_DISK)
     mark("plan_build")
     val metricsRows = metricsDelta.collect()
