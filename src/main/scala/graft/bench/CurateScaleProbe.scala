@@ -36,9 +36,32 @@ object CurateScaleProbe {
     "order", "line", "a", "the", "and", "of", "to", "in", "for", "with",
     "dedup", "token", "shard", "bucket", "frame", "plan")
 
+  /** Per-position token: 50% from the stopword-ish base vocab (keeps
+    * the quality gate's stopword-ratio realistic), 50% from a 4000-word
+    * long tail. The tail is load-bearing for the SCALE reading: with
+    * the base-40 vocab alone, 64-bit simhash fingerprints saturate as
+    * n grows and ACCIDENTAL hamming-≤3 pairs grow ~quadratically
+    * (first probe run: simhash pair count 83→3265 on 10× data, a
+    * corpus artifact that would mask a real blocking regression).
+    * With the tail, planted index-local dups dominate every pair
+    * family, so expected pair counts grow linearly by construction.
+    *
+    * Tail words are LETTER-ONLY: `TextOps.tokens` segments on [a-z]+
+    * runs, so a digit-bearing word like "w123" collapses to "w" for
+    * every tail draw — in that regime every fingerprint converged on
+    * the shared high-count "w" token and simhash pairs hit ~n²/2 at
+    * the LO leg (12.4M pairs on 5k docs, run-2 artifact).
+    */
   private def freshTokens(i: Long): Seq[String] = {
     val len = 40 + Fixtures.draw(21, "len", i)
-    (0 until len).map(p => vocab(Fixtures.draw(vocab.length, "tok", i, p)))
+    (0 until len).map { p =>
+      if (Fixtures.draw(2, "mix", i, p) == 0)
+        vocab(Fixtures.draw(vocab.length, "tok", i, p))
+      else {
+        val t = Fixtures.draw(4000, "tail", i, p)
+        s"w${('a' + t % 20).toChar}${('a' + t / 20 % 20).toChar}${('a' + t / 400 % 20).toChar}"
+      }
+    }
   }
 
   /** doc i's text: mostly fresh; ~0.5% an exact copy of a nearby
@@ -91,25 +114,32 @@ object CurateScaleProbe {
     // exchange shipping unread columns — bytes, not plans, catch that
     // class). Listener delivery is async: each window closes with a
     // short settle sleep, fine at probe precision.
-    val shuffleMb = new java.util.concurrent.atomic.AtomicLong(0)
+    // accumulate RAW bytes and convert once at window close — a
+    // per-stage /MB truncation silently zeroes small-sf legs (many
+    // sub-MB stages), destroying exactly the lo-vs-hi ratio the probe
+    // exists to report.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0)
     s.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val m = sc.stageInfo.taskMetrics
-        shuffleMb.addAndGet(
-          (m.shuffleWriteMetrics.bytesWritten + m.shuffleReadMetrics.totalBytesRead) / (1 << 20))
+        shuffleBytes.addAndGet(
+          m.shuffleWriteMetrics.bytesWritten + m.shuffleReadMetrics.totalBytesRead)
         ()
       }
     })
-    def windowed[T](body: => T): (T, Long) = {
-      Thread.sleep(300); shuffleMb.set(0)
+    def windowed[T](body: => T): (T, Double) = {
+      Thread.sleep(300); shuffleBytes.set(0)
       val r = body
       Thread.sleep(300)
-      (r, shuffleMb.get())
+      (r, shuffleBytes.get().toDouble / (1 << 20))
     }
 
-    final case class Reading(n: Long, query: String, sec: Double, rows: Long, shMb: Long)
+    final case class Reading(n: Long, query: String, sec: Double, rows: Long, shMb: Double)
     val readings = Seq.newBuilder[Reading]
-    val canaryPre = graft.BenchLevel.sparkCanary(s)
+    // min-of-2: the first canary on a cold JVM pays one-time JIT (a
+    // 27 s reading in the first probe run) and brackets nothing.
+    val canaryPre =
+      math.min(graft.BenchLevel.sparkCanary(s), graft.BenchLevel.sparkCanary(s))
     counts.foreach { n =>
       val dir = s"/tmp/curate_scale_$n"
       generate(s, n, dir)
@@ -126,7 +156,7 @@ object CurateScaleProbe {
         }
         val sec = secs.min
         readings += Reading(n, q, sec, rows, mb)
-        println(f"[curatescale] n=$n $q sec=$sec%.2f rows=$rows shuffleMB=$mb")
+        println(f"[curatescale] n=$n $q sec=$sec%.2f rows=$rows shuffleMB=$mb%.1f")
       }
     }
     val canaryPost = graft.BenchLevel.sparkCanary(s)
@@ -141,7 +171,8 @@ object CurateScaleProbe {
         s""""wall_ratio":${f2(hi.sec / lo.sec)},""" +
         s""""rows_lo":${lo.rows},"rows_hi":${hi.rows},""" +
         s""""rows_ratio":${f2(hi.rows.toDouble / math.max(1, lo.rows))},""" +
-        s""""shuffle_mb_lo":${lo.shMb},"shuffle_mb_hi":${hi.shMb},""" +
+        s""""shuffle_mb_lo":${f2(lo.shMb)},"shuffle_mb_hi":${f2(hi.shMb)},""" +
+        s""""shuffle_ratio":${f2(hi.shMb / math.max(0.01, lo.shMb))},""" +
         s""""linear_would_be":${f2(scale)}}"""
     }.mkString("{", ",", "}")
     val json =
