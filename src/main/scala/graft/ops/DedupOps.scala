@@ -76,28 +76,62 @@ object DedupOps {
     // row per shingle per map partition, bounded however hot the
     // shingle — and dropped with an anti-join against that
     // (small: ≤ totalRows/maxDf shingles can exceed the cap; left
-    // unhinted so AQE runtime-broadcasts it when it fits). The
-    // per-doc `__sz` stays a WINDOW: it partitions by doc id, which
-    // is doc-bounded by construction. A/B at local[32] sf0.1
-    // (cold/warm secs, fresh JVM): double-window 14.8/2.1 (r3,
-    // quiet box), this shape 14.1/3.3 (r4, box under external load),
-    // groupBy sizes joined back 39.4/4.3 — the ~1 s warm delta buys
-    // the unbounded-skew guarantee (see DedupSkewSpec: a shingle in
-    // 25% of all rows produces no single hot task here).
+    // unhinted so AQE runtime-broadcasts it when it fits).
+    // The per-doc `__sz` stays a WINDOW: it partitions by doc id,
+    // which is doc-bounded by construction — and its exchange IS the
+    // query's materialization point: both self-join sides read the
+    // one window output (ReuseExchange), so the tokenize→shingle→
+    // hot-cap lineage runs ONCE, in shuffle files the context
+    // auto-cleans. A/B at local[32] sf0.1 (cold/warm secs, fresh
+    // JVM): double-window 14.8/2.1 (r3, quiet box), this shape
+    // 14.1/3.3 (r4, box under external load), groupBy sizes joined
+    // back 39.4/4.3 — the ~1 s warm delta buys the unbounded-skew
+    // guarantee (see DedupSkewSpec: a shingle in 25% of all rows
+    // produces no single hot task here).
+    //
+    // SHUFFLE-BYTE SHAPE (round 7; the 10× probe's byte dump showed
+    // this query shipping the family's largest exchange): shingles
+    // cross every exchange as xxhash64 INT64s, not ~25-byte strings —
+    // the cap, the window key and the self-join need only equality,
+    // and a 64-bit collision (≈ d²/2⁶⁵ for d distinct shingles) is
+    // noise far below the near-dup threshold's own approximation;
+    // the DuckDB oracle keeps strings and matches exactly at test
+    // scale. The hash is taken over the token-slice ARRAY directly
+    // (xxhash64 hashes array elements), skipping [[shingles]]'s
+    // array_join string build per shingle — the 3-variant interleaved
+    // A/B (one JVM, alternating reps, sf0.1 local[32]) read string
+    // 2.14 / hash-of-joined-string 2.27 / hash-of-array 2.16 s min,
+    // i.e. wall-neutral locally, while the 50k probe's shuffle
+    // write+read dropped 177.9 → 133.2 MB (−25%) — bytes the network
+    // pays for at the design point, not the local disk. (A round-7
+    // restructure that replaced the window with groupBy sizes joined
+    // onto the final pairs was measured and REJECTED: without the
+    // window exchange as the shared materialization point the three
+    // consumers re-evaluated the lineage — AQE broadcast the
+    // 2.3M-row join side off its 16-byte row estimate, one stage hit
+    // 447 executor-CPU-s vs ~140 total here — and a
+    // Checkpoints.materialize rescue accumulated localCheckpoint
+    // blocks across constructions, walls growing 21→30→65 s over
+    // three reps in one session.)
     import org.apache.spark.sql.expressions.Window
-    val sh0 = shingles(docs, idCol, textCol, n)
+    val sh0 = docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
+      .where(size(col("__t")) >= n)
+      .select(col(idCol), explode(array_distinct(expr(
+        s"transform(sequence(1, size(__t) - ${n - 1}), p -> xxhash64(slice(__t, p, $n)))")))
+        .as("__sh"))
     val capped =
       if (maxDf <= 0) sh0
       else {
-        val hot = sh0.groupBy("shingle").count().where(col("count") > maxDf)
-          .select("shingle")
-        sh0.join(hot, Seq("shingle"), "left_anti")
+        val hot = sh0.groupBy("__sh").count().where(col("count") > maxDf)
+          .select("__sh")
+        sh0.join(hot, Seq("__sh"), "left_anti")
       }
     val sh = capped
       .withColumn("__sz", count(lit(1)).over(Window.partitionBy(idCol)))
-    val a = sh.select(col(idCol).as("id_a"), col("shingle"), col("__sz").as("size_a"))
-    val b = sh.select(col(idCol).as("id_b"), col("shingle"), col("__sz").as("size_b"))
-    a.join(b, "shingle")
+    val a = sh.select(col(idCol).as("id_a"), col("__sh"), col("__sz").as("size_a"))
+    val b = sh.select(col(idCol).as("id_b"), col("__sh"), col("__sz").as("size_b"))
+    a.join(b, "__sh")
       .where(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("shared"),

@@ -48,12 +48,14 @@ class DedupSkewSpec extends SparkSpec {
     val q = DedupOps.ngramJaccardPairs(df, "doc_id", "text",
       n = 3, num = 1, den = 3, maxDf = 50L)
     // plan gate: the only window partitions by doc_id (the per-doc
-    // size); the df-cap must NOT be a window over the shingle —
-    // that shape lands every hot-shingle row in one task
+    // size — its exchange doubles as the self-join's shared
+    // materialization point); the df-cap must NOT be a window over
+    // the shingle hash — that shape lands every hot-shingle row in
+    // one task
     val p = q.queryExecution.executedPlan.toString
     val winLines = p.split("\n").filter(_.contains("windowspecdefinition"))
     assert(winLines.nonEmpty, s"expected the per-doc size window:\n$p")
-    assert(!winLines.exists(_.contains("shingle")),
+    assert(!winLines.exists(l => l.contains("__sh") || l.contains("shingle")),
       s"df-cap regressed to a shingle-partitioned window:\n$p")
     // correctness under skew vs the collections twin
     val got = q.collect()
