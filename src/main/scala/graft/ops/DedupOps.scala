@@ -155,6 +155,20 @@ object DedupOps {
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, bands: Int, rows: Int): DataFrame = {
+    val sigs = wideMinhash(docs, idCol, textCol, n, bands, rows)
+    val bandStructs = (0 until bands).map { b =>
+      val entries = (b * rows until (b + 1) * rows).map(h =>
+        concat_ws("=", lit(h), col(s"mh$h")))
+      struct(lit(b).as("band"),
+        concat_ws("|", sort_array(array(entries: _*))).as("sig"))
+    }
+    sigs.select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** One wide row per doc: min-hash columns mh0..mh{bands·rows−1}. */
+  private def wideMinhash(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int, bands: Int, rows: Int): DataFrame = {
     // per-doc-distinct shingles, built narrowly (shingles scaladoc):
     // min() is insensitive to duplicates, so dropping them before the
     // digests saves ceil(bands·rows/4) md5 calls per duplicate
@@ -171,26 +185,32 @@ object DedupOps {
       val digest = md5(concat(lit(s"${h / 4}:"), col("shingle")))
       min(substring(digest, (h % 4) * 8 + 1, 8)).as(s"mh$h")
     }
-    val sigs = sh.groupBy(col(idCol)).agg(minCols.head, minCols.tail: _*)
-    val bandStructs = (0 until bands).map { b =>
-      val entries = (b * rows until (b + 1) * rows).map(h =>
-        concat_ws("=", lit(h), col(s"mh$h")))
-      struct(lit(b).as("band"),
-        concat_ws("|", sort_array(array(entries: _*))).as("sig"))
-    }
-    sigs.select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
-      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    sh.groupBy(col(idCol)).agg(minCols.head, minCols.tail: _*)
   }
 
   /** MinHash+LSH candidate pairs: docs sharing any full band
     * signature. Returns distinct (id_a, id_b), id_a < id_b.
+    *
+    * The self-join key is ONE xxhash64 over (band index, the band's
+    * `rows` min-hash columns) — the band equi-join's exchange ships
+    * (id, sig64) 16-byte rows instead of (id, band, ~47-char sig
+    * string) rows (round 7; same int64-over-the-wire rationale as
+    * [[ngramJaccardPairs]], collisions ≈ (docs·bands)²/2⁶⁵). The
+    * [[minhashSignatures]] string form stays the public/auditable
+    * surface; the DuckDB oracle keeps joining on string sigs and
+    * hash-matches at both test SFs.
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, bands: Int = 4, rows: Int = 4): DataFrame = {
-    val sigs = minhashSignatures(docs, idCol, textCol, n, bands, rows)
-    val a = sigs.select(col(idCol).as("id_a"), col("band"), col("sig"))
-    val b = sigs.select(col(idCol).as("id_b"), col("band"), col("sig"))
-    a.join(b, Seq("band", "sig"))
+    val wide = wideMinhash(docs, idCol, textCol, n, bands, rows)
+    val bandSigs = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(h => col(s"mh$h"))
+      xxhash64(lit(b) +: cols: _*)
+    }
+    val sigs = wide.select(col(idCol), explode(array(bandSigs: _*)).as("sig64"))
+    val a = sigs.select(col(idCol).as("id_a"), col("sig64"))
+    val b = sigs.select(col(idCol).as("id_b"), col("sig64"))
+    a.join(b, Seq("sig64"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
