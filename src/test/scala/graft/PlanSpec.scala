@@ -108,9 +108,25 @@ class PlanSpec extends SparkSpec {
   test("dedup_ngram_jaccard: df-cap is a partial-agg anti-join, not a shingle window") {
     val p = plan("dedup_ngram_jaccard")
     val winLines = p.split("\n").filter(_.contains("windowspecdefinition"))
-    assert(!winLines.exists(_.contains("shingle")),
+    assert(!winLines.exists(l => l.contains("shingle") || l.contains("__sh#")),
       s"df-cap must never shuffle a hot shingle's rows into one task:\n$p")
     assert(p.contains("LeftAnti"), s"heavy-hitter anti-join expected:\n$p")
+  }
+
+  test("dedup int64 wire format: jaccard + minhash exchanges carry hashed keys, not strings") {
+    // round-7 byte shape: shingles/band-sigs cross every exchange as
+    // xxhash64 INT64s; a regression to string keys would re-inflate
+    // the curation family's largest shuffles ~2× (BENCH/BASELINE.md
+    // round-7 tables) without failing any oracle
+    val pj = plan("dedup_ngram_jaccard")
+    assert(pj.contains("xxhash64"), s"jaccard must hash shingles:\n$pj")
+    assert(!pj.contains("hashpartitioning(shingle"),
+      s"jaccard exchange regressed to shingle strings:\n$pj")
+    val pm = plan("dedup_minhash_lsh")
+    assert(pm.contains("xxhash64"), s"minhash join must hash band sigs:\n$pm")
+    assert(!pm.split("\n").exists(l =>
+        l.contains("hashpartitioning(") && (l.contains("sig#") || l.contains("(band#"))),
+      s"minhash band join regressed to (band, sig-string) keys:\n$pm")
   }
 
   test("text_pii / text_repetition: fully narrow (0 exchanges)") {
