@@ -37,6 +37,8 @@ object StageDump {
             f"shRmb=${m.shuffleReadMetrics.totalBytesRead / 1e6}%.1f")
         }
     })
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+      graft.SparkEntry.queries(name)(s, dir).explain("formatted")
     def run(): Unit =
       graft.SparkEntry.queries(name)(s, dir)
         .write.format("noop").mode("overwrite").save()

@@ -293,14 +293,58 @@ object TextOps {
     * not be dense, buckets just skew with sparsity.
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String, seqLen: Int,
-                    bucketWidth: Long = 4096L): DataFrame = {
-    val t = df.select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tokens"))
-      .withColumn("__bkt", (col(idCol).cast("long") / bucketWidth).cast("long"))
+                    bucketWidth: Long = 4096L): DataFrame =
+    packSequencesFromCounts(
+      df.where(col(idCol).isNotNull)
+        .select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tokens")),
+      idCol, "n_tokens", seqLen, bucketWidth)
+
+  /** [[packSequences]] over PRE-COUNTED documents: `countCol` is the
+    * per-doc token count (never re-derived here). This is the seam
+    * that keeps the expensive pass single-execution: the scan math
+    * below is a plan DIAMOND (the counts feed the within-bucket
+    * window, the bucket totals, and the super totals), and a diamond
+    * in a DataFrame DAG re-derives its source once PER BRANCH unless
+    * exchange reuse dedups it. Callers whose counts are expensive
+    * (tokenizing raw text, an anti-join over survivors) should pass
+    * either a cheap scan or a materialized counts table — 16 bytes a
+    * row, so even a replanned branch costs pennies at 10^10 docs.
+    * pipeline_curate does exactly that (one tokenize pass over the
+    * kept docs, materialized, then packed).
+    */
+  def packSequencesFromCounts(counts: DataFrame, idCol: String, countCol: String,
+                              seqLen: Int, bucketWidth: Long = 4096L): DataFrame = {
+    // SCAN ONCE, second layer of defense: make the three branches'
+    // exchanges canonically IDENTICAL so ReuseExchange/AQE-stage
+    // dedup collapses them. Column pruning defeats that when one
+    // branch is a window (ships whole rows) and another a groupBy
+    // (ships partial aggregates), so the bucket total is computed as
+    // a SECOND window function over the same (partitionBy __bkt,
+    // orderBy id) spec — every branch then ships the identical
+    // (id, n_tokens, __bkt) projection. The bt/super branches re-sort
+    // and re-window the reused shuffle output — pennies (24-byte
+    // rows). Null-id docs were ALREADY dropped (silently, by the
+    // inner join on __bkt); filtering explicitly makes that uniform
+    // across branches. The coalesce makes __bkt/__sup NON-NULLABLE
+    // by construction (the -1 arm is unreachable under the filter),
+    // so InferFiltersFromConstraints never plants the per-branch
+    // isnotnull(__bkt)/isnotnull(__sup) filters that otherwise land
+    // at different plan positions and break reuse canonicalization.
+    val t = counts.where(col(idCol).isNotNull)
+      .select(col(idCol), col(countCol).cast("long").as("n_tokens"))
+      .withColumn("__bkt",
+        coalesce((col(idCol).cast("long") / bucketWidth).cast("long"), lit(-1L)))
     val wWithin = Window.partitionBy("__bkt").orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val within = t.withColumn("__within", coalesce(sum("n_tokens").over(wWithin), lit(0L)))
-    val bt = t.groupBy("__bkt").agg(sum("n_tokens").as("__btot"))
-      .withColumn("__sup", (col("__bkt") / bucketWidth).cast("long"))
+    val wBucket = Window.partitionBy("__bkt").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wind = t
+      .withColumn("__within", coalesce(sum("n_tokens").over(wWithin), lit(0L)))
+      .withColumn("__btot0", sum("n_tokens").over(wBucket))
+    val within = wind.drop("__btot0")
+    val bt = wind.groupBy("__bkt").agg(max("__btot0").as("__btot"))
+      .withColumn("__sup",
+        coalesce((col("__bkt") / bucketWidth).cast("long"), lit(-1L)))
     val wWithinSup = Window.partitionBy("__sup").orderBy("__bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wSup = Window.orderBy("__sup").rowsBetween(Window.unboundedPreceding, -1)

@@ -201,12 +201,20 @@ object PipelineQueries {
       // conjunct — measured 14.5 s vs 1.5 s at sf0.1), then read two
       // of them once. TextOps.qualityGate needs only tokens(text)
       // across two conjuncts, so it inlines safely and only the
-      // SURVIVORS (doc_id, text) are persisted — one materialization
-      // feeding all three consumers (pair generation, the keep
-      // anti-join's probe side, the packing scan), released below.
-      val q = dd.where(TextOps.qualityGate(col("text"), 20))
-        .select("doc_id", "text")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // SURVIVORS (doc_id, text) are materialized — one scan feeding
+      // both consumers (pair generation, the keep anti-join's probe
+      // side). MATERIALIZE, not persist: minhashLshPairs self-joins
+      // its input, and AQE's runtime stage dedup fails to unify the
+      // two sides when they scan an InMemoryRelation (the sig build
+      // ran TWICE in the stage dump — two ~equal-CPU map stages
+      // writing identical exchanges), while over a lineage-truncated
+      // scan the two sides collapse to one map stage (listener-based
+      // A/B in ScratchReuse diagnostics, r7). Same block footprint as
+      // the old persist; blocks release via the ContextCleaner once
+      // counts below materializes and drops the last reference.
+      val q = graft.ops.Checkpoints.materialize(
+        dd.where(TextOps.qualityGate(col("text"), 20))
+          .select("doc_id", "text"))
       // Pair set materialized once (O(near-dup pairs), tiny): both the
       // node spine and CC's symmetric edge build read it.
       val pairs = graft.ops.Checkpoints.materialize(
@@ -227,13 +235,20 @@ object PipelineQueries {
       val reps = DedupOps.connectedComponents(nodes, "doc_id", pairs, "id_a", "id_b")
       val dropped = reps.where(col("doc_id") =!= col("cluster_rep")).select("doc_id")
       val kept = q.join(dropped, Seq("doc_id"), "left_anti")
-      // Materialize the final scan so q's cache can be RELEASED inside
-      // the query (the r4 leak); reliable checkpoint when a dir is
+      // Tokenize the kept docs ONCE and materialize the 16-byte/row
+      // counts table: the packing scan is a plan diamond, and in the
+      // composed query each branch re-derived the kept-side anti-join
+      // + tokenize (3 executions observed in the stage dump) — the
+      // materialized counts make every branch read pennies instead.
+      // This is also q's LAST consumer — after it, the survivor
+      // blocks are unreferenced and the ContextCleaner reclaims them;
+      // the pack result itself can stay lazy because its lineage
+      // roots at the counts. Reliable checkpoint when a dir is
       // configured (ADVICE r5). connectedComponents is cache-neutral.
-      val packed = graft.ops.Checkpoints.materialize(
-        TextOps.packSequences(kept, "doc_id", "text", seqLen = 512))
-      q.unpersist()
-      packed
+      val counts = graft.ops.Checkpoints.materialize(
+        kept.where(col("doc_id").isNotNull).select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")))
+      TextOps.packSequencesFromCounts(counts, "doc_id", "n_tokens", seqLen = 512)
     }))
 
   private def langScoreSql(l: String): String =

@@ -147,9 +147,35 @@ class PlanSpec extends SparkSpec {
     val p = plan("text_pack_sequences")
     val winLines = p.split("\n").filter(_.contains("Window ["))
     val unpart = winLines.filter(l => "\\], \\[".r.findAllIn(l).size == 1)
-    assert(winLines.length == 3, s"expected 3 window nodes:\n$p")
+    // 5 window nodes since the scan-once rework: the within-bucket
+    // window, the bucket-total window appearing in BOTH bt-derived
+    // branches (they dedup at runtime via exchange reuse — gated
+    // below), the within-super window, and the one global window.
+    assert(winLines.length == 5, s"expected 5 window nodes:\n$p")
     assert(unpart.length == 1 && unpart.head.contains("__stot"),
       s"exactly one unpartitioned window, over the super totals only:\n$p")
+  }
+
+  test("text_pack_sequences: ONE tokenize scan — the __bkt exchanges reuse") {
+    // The packing scan is a plan diamond; before the r7 rework each
+    // branch re-derived (and re-tokenized) the source — 3 scans, and
+    // composed in pipeline_curate, 3 executions of the kept-side
+    // anti-join. The fix makes every branch's exchange canonically
+    // identical (same projection via a second window function, keys
+    // non-nullable so no divergent isnotnull inference); this gate
+    // pins it by checking the static reuse rule actually collapses
+    // them (AQE's runtime stage dedup keys on the same
+    // canonicalization, so green here means green adaptively).
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val p = plan("text_pack_sequences")
+      assert(count(p, "ReusedExchange") >= 2,
+        s"the bt/super branches must reuse the data exchange:\n$p")
+      assert(count(p, "Scan parquet") == 1,
+        s"pack must tokenize its input exactly once:\n$p")
+    } finally spark.conf.set(key, prev)
   }
 
   test("text_contamination: shingle overlap is an equi-join, no cartesian") {
