@@ -169,10 +169,18 @@ object Bench {
     // retry log says WHY a reading was discounted
     def breaches(memNominal: Double, sparkNominal: Double)(r: ReplayBench.PipelineStats)
         : Seq[String] = {
+      // spark-canary bound is FLOOR-RELATIVE: each level JVM measures
+      // its own quiet floor (min-of-3 post-warm-up, emitted as the
+      // spark_canary_floor pseudo-stage) and the gate uses
+      // max(nominal, floor) — capped at 2× nominal so a floor taken
+      // on a loud box can't blind the gate. Rationale at the
+      // query-phase twin of this logic (Bench.main phase 2).
+      val sparkFloor = r.stageSec.getOrElse("spark_canary_floor", sparkNominal)
+      val sparkBound = math.max(sparkNominal, math.min(sparkFloor, 2 * sparkNominal))
       val bounds = Seq(
         ("cpu_canary_par", parNominal * contendedFactor),
         ("mem_canary_par", memNominal * contendedFactor),
-        ("spark_canary", sparkNominal * contendedFactor),
+        ("spark_canary", sparkBound * contendedFactor),
         ("ext_cpu_cores", extCpuMax))
       bounds.flatMap { case (k, max) =>
         r.stageSec.get(k).filter(_ > max).map(v => s"$k=${f3(v)}>${f3(max)}")
@@ -267,19 +275,38 @@ object Bench {
     // self-flags "queries_contended":true and times fall back to the
     // per-query min over every attempt (min is the contention-robust
     // statistic; the flag says how far to trust it).
-    val (results, failedQueries, queryCanaries, queriesContended, queryAttempts) =
+    val (results, failedQueries, queryCanaries, queriesContended, queryAttempts, queryFloor) =
       if (sys.env.contains("SPARK_GRAFT_BENCH_SKIP_QUERIES"))
-        (Map.empty[String, Double], Seq.empty[String], Seq.empty[Double], false, 0)
+        (Map.empty[String, Double], Seq.empty[String], Seq.empty[Double], false, 0, 0.0)
       else {
         val s1 = session(cpus, cpus)
         BenchLevel.sparkCanary(s1) // codegen warm-up
+        // Bracket readings are MIN-OF-3: the local[32] spark-canary
+        // distribution is heavy-tailed even on an idle box (CanaryProbe
+        // 2026-08-18, 10 warmed readings: 1.52..5.12 s) — a single
+        // reading gates on JVM/GC jitter, not box state, and burned
+        // all three r7 sweep attempts on a quiet box. Sustained
+        // contention still inflates all three readings of a bracket.
+        def canary3() = (1 to 3).map(_ => BenchLevel.sparkCanary(s1)).min
         // the query session runs at local[cpus] like the hi scaling
         // level, but on a different workload mix; its own quiet
         // nominal (local[32] ≈ 1.44, BENCH/BASELINE.md) is observed
         // tighter than the scaling hi-leg's 1.7
         val queryNominal =
           sys.env.getOrElse("SPARK_GRAFT_CANARY_QUERY_NOMINAL", "1.44").toDouble
-        val gate = queryNominal * contendedFactor
+        // Same-session measured floor: the spark-shaped wall drifts
+        // with host incarnation (r7 reboot: floor 1.52 vs r6's
+        // observed 1.07 — while cpu, mem-bandwidth AND pointer-chase
+        // canaries sat at nominal, i.e. quiet box, different floor,
+        // not a neighbor). Gate RELATIVE to max(nominal, floor) so
+        // the retry loop heals contention instead of permanently
+        // flagging box drift; the floor's influence is capped at 2×
+        // nominal so a floor measured on a genuinely loud box cannot
+        // blind the gate, and the floor itself ships in the artifact
+        // ("query_canary_floor") for adjudication.
+        val queryFloor = canary3()
+        val gate =
+          math.max(queryNominal, math.min(queryFloor, 2 * queryNominal)) * contendedFactor
         val attempts = Seq.newBuilder[(Map[String, Double], Seq[String], Seq[Double])]
         var accepted: Option[(Map[String, Double], Seq[String], Seq[Double])] = None
         var n = 0
@@ -288,9 +315,9 @@ object Bench {
             System.err.println(s"[bench] query sweep contended — retry $n/2 after spacing")
             Thread.sleep(15000)
           }
-          val cPre = BenchLevel.sparkCanary(s1)
+          val cPre = canary3()
           val (times, failed) = runQueries(s1, sfDir, SparkEntry.queries)
-          val cPost = BenchLevel.sparkCanary(s1)
+          val cPost = canary3()
           val rec = (times, failed, Seq(cPre, cPost))
           attempts += rec
           if (math.max(cPre, cPost) <= gate) accepted = Some(rec)
@@ -301,20 +328,27 @@ object Bench {
         s1.stop()
         val all = attempts.result()
         accepted match {
-          case Some((times, failed, canaries)) => (times, failed, canaries, false, n)
+          case Some((times, failed, canaries)) => (times, failed, canaries, false, n, queryFloor)
           case None =>
             // no clean window: per-query min over all attempts, a name
             // is failed only if it failed in EVERY attempt
             val names = all.flatMap(_._1.keySet).toSet
             val times = names.map(nm => nm -> all.flatMap(_._1.get(nm)).min).toMap
             val failed = all.map(_._2.toSet).reduce(_ intersect _).toSeq.sorted
-            (times, failed, all.last._3, true, n)
+            (times, failed, all.last._3, true, n, queryFloor)
         }
       }
 
+    // Engine-free hardware truth for the artifact: the box's random-
+    // access latency class (BenchLevel.ptrChaseNs scaladoc). Lets a
+    // reader separate "spark-canary floor drifted with the host
+    // incarnation" (ptr chase nominal) from "neighbor trashing
+    // LLC/TLB" (ptr chase ~330 ns in r5's burned state).
+    val ptrChase = (1 to 3).map(_ => BenchLevel.ptrChaseNs()).min
+
     emit(hi, lo, efficiency, anomalous, contended, parNominal, extCpuMax,
       results, failedQueries, queryCanaries, queriesContended, queryAttempts,
-      sfDir, loLevel, hiLevel)
+      queryFloor, ptrChase, sfDir, loLevel, hiLevel)
   }
 
   /** Warmed min-of-2 query sweep (see the phase-2 note in main). A
@@ -371,6 +405,7 @@ object Bench {
                    results: Map[String, Double],
                    failedQueries: Seq[String], queryCanaries: Seq[Double],
                    queriesContended: Boolean, queryAttempts: Int,
+                   queryFloor: Double, ptrChaseNs: Double,
                    sfDir: String, loLevel: Int, hiLevel: Int): Unit = {
     def statsJson(p: ReplayBench.PipelineStats): String = {
       val stages = p.stageSec.map { case (k, v) => "\"" + k + "\":" + f3(v) }
@@ -392,8 +427,10 @@ object Bench {
           s""""query_spark_canary":[${queryCanaries.map(f3).mkString(",")}],"""
          else "") +
         (if (queryAttempts > 0)
-          s""""queries_contended":$queriesContended,"query_attempts":$queryAttempts,"""
+          s""""queries_contended":$queriesContended,"query_attempts":$queryAttempts,""" +
+            s""""query_canary_floor":${f3(queryFloor)},"""
          else "") +
+        s""""ptr_chase_ns":${f1(ptrChaseNs)},""" +
         s""""sf":"$sfDir",""" +
         s""""anomalous":${anomalous.isDefined},""" +
         anomalous.map(k => s""""anomalous_kind":"$k",""").getOrElse("") +
@@ -441,11 +478,19 @@ object BenchLevel {
     // absorbs its one-time buffer page-fault cost; the spark canary's
     // first call pays its own codegen)
     cpuCanary(); cpuCanaryPar(level.toInt); memCanaryPar(level.toInt)
-    sparkCanary(s)
+    ptrChaseNs(); sparkCanary(s)
+    // Same-JVM quiet floor for the spark canary (min-of-3, post
+    // warm-up): the parent gates each rep's canary RELATIVE to
+    // max(nominal, floor) — the absolute nominal alone burned r7's
+    // sweeps when the host incarnation's floor drifted 1.07→1.5+
+    // with cpu/mem/pointer-chase canaries all nominal. Emitted on
+    // every rep so the artifact carries the floor it was gated by.
+    val sparkFloor = (1 to 3).map(_ => sparkCanary(s)).min
     (1 to reps.toInt).foreach { _ =>
       val canary = cpuCanary()
       val canaryPar = cpuCanaryPar(level.toInt)
       val canaryMem = memCanaryPar(level.toInt)
+      val canaryChase = ptrChaseNs()
       val canarySpark = sparkCanary(s)
       val b0 = procBusySec(); val st0 = procStealSec()
       val o0 = ownCpuSec(); val t0 = System.nanoTime()
@@ -467,6 +512,7 @@ object BenchLevel {
       val p = p0.copy(stageSec = p0.stageSec +
         ("cpu_canary" -> canary) + ("cpu_canary_par" -> canaryPar) +
         ("mem_canary_par" -> canaryMem) + ("spark_canary" -> canarySpark) +
+        ("spark_canary_floor" -> sparkFloor) + ("ptr_chase_ns" -> canaryChase) +
         ("ext_cpu_cores" -> extCores) + ("steal_cores" -> stealCores))
       // Locale-pinned (Bench.f3): the parent parses these with toDouble
       val stages = p.stageSec.map { case (k, v) => s"stage:$k=${Bench.f3(v)}" }.mkString(" ")
@@ -588,6 +634,43 @@ object BenchLevel {
   }
   private val memBufs =
     new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+
+  /** RANDOM-ACCESS-LATENCY canary: single-thread pointer chase over a
+    * 256 MB single-cycle permutation (Sattolo, fixed seed; built once
+    * per JVM), 2^21 dependent loads, reported as ns/access. This is
+    * the probe class that adjudicated round 5's invisible neighbor
+    * (pointer-chase 330 ns vs a ~150–250 ns quiet class while the CPU
+    * and streaming canaries read nominal) — promoted from a one-off
+    * measurement into the canary family so a BOX LATENCY-CLASS SHIFT
+    * is distinguishable in-artifact from an engine regression: the
+    * spark canary shares the engine's instruction mix (moves with
+    * both), this one is engine-free hardware truth (moves only with
+    * the box). r7 motivation: spark-canary floors rose ~1.4× across a
+    * host reboot with cpu/mem canaries flat — exactly this signature.
+    */
+  def ptrChaseNs(): Double = {
+    val a = chaseBuf
+    var i = 0
+    var steps = 0
+    val t0 = System.nanoTime()
+    while (steps < (1 << 21)) { i = a(i); steps += 1 }
+    val ns = (System.nanoTime() - t0).toDouble / (1 << 21)
+    if (i == -1) println("") // defeat dead-code elimination
+    ns
+  }
+  private lazy val chaseBuf: Array[Int] = {
+    val n = 1 << 26 // 64M ints = 256 MB, far beyond any LLC
+    val a = Array.tabulate(n)(i => i)
+    val rnd = new java.util.Random(0x5eedL)
+    // Sattolo: a single cycle, so the walk visits uniformly at random
+    var i = n - 1
+    while (i > 0) {
+      val j = rnd.nextInt(i)
+      val t = a(i); a(i) = a(j); a(j) = t
+      i -= 1
+    }
+    a
+  }
 
   /** SPARK-SHAPED reference canary: a FIXED mini-job — 2^24
     * synthesized rows hash-aggregated into 2^20 groups — run on the
