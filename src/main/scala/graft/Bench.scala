@@ -60,6 +60,20 @@ object Bench {
   private[graft] def f1(d: Double): String =
     String.format(java.util.Locale.ROOT, "%.1f", Double.box(d))
 
+  /** Contention-gate bound for a spark-canary reading: relative to
+    * the larger of the calibrated quiet nominal and the SAME-JVM
+    * measured floor (min-of-3 post-warm-up), because the canary's
+    * quiet floor drifts with host incarnation (r7 reboot: 1.07→1.5+ s
+    * while the cpu/mem/pointer-chase probes all read nominal — a
+    * floor shift, not a neighbor) and gating on the stale absolute
+    * nominal burned every retry on a quiet box. The floor's influence
+    * is capped at 2× nominal so a floor measured on a genuinely loud
+    * box cannot blind the gate; both inputs ship in the artifact
+    * (query_canary_floor, spark_canary_floor) for adjudication.
+    */
+  private[graft] def canaryBound(nominal: Double, floor: Double): Double =
+    math.max(nominal, math.min(floor, 2 * nominal))
+
   private[graft] def session(cpus: Int, parts: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -171,12 +185,9 @@ object Bench {
         : Seq[String] = {
       // spark-canary bound is FLOOR-RELATIVE: each level JVM measures
       // its own quiet floor (min-of-3 post-warm-up, emitted as the
-      // spark_canary_floor pseudo-stage) and the gate uses
-      // max(nominal, floor) — capped at 2× nominal so a floor taken
-      // on a loud box can't blind the gate. Rationale at the
-      // query-phase twin of this logic (Bench.main phase 2).
+      // spark_canary_floor pseudo-stage) — see canaryBound.
       val sparkFloor = r.stageSec.getOrElse("spark_canary_floor", sparkNominal)
-      val sparkBound = math.max(sparkNominal, math.min(sparkFloor, 2 * sparkNominal))
+      val sparkBound = canaryBound(sparkNominal, sparkFloor)
       val bounds = Seq(
         ("cpu_canary_par", parNominal * contendedFactor),
         ("mem_canary_par", memNominal * contendedFactor),
@@ -294,19 +305,10 @@ object Bench {
         // tighter than the scaling hi-leg's 1.7
         val queryNominal =
           sys.env.getOrElse("SPARK_GRAFT_CANARY_QUERY_NOMINAL", "1.44").toDouble
-        // Same-session measured floor: the spark-shaped wall drifts
-        // with host incarnation (r7 reboot: floor 1.52 vs r6's
-        // observed 1.07 — while cpu, mem-bandwidth AND pointer-chase
-        // canaries sat at nominal, i.e. quiet box, different floor,
-        // not a neighbor). Gate RELATIVE to max(nominal, floor) so
-        // the retry loop heals contention instead of permanently
-        // flagging box drift; the floor's influence is capped at 2×
-        // nominal so a floor measured on a genuinely loud box cannot
-        // blind the gate, and the floor itself ships in the artifact
-        // ("query_canary_floor") for adjudication.
+        // Same-session measured floor (rationale: canaryBound) —
+        // ships in the artifact as "query_canary_floor".
         val queryFloor = canary3()
-        val gate =
-          math.max(queryNominal, math.min(queryFloor, 2 * queryNominal)) * contendedFactor
+        val gate = canaryBound(queryNominal, queryFloor) * contendedFactor
         val attempts = Seq.newBuilder[(Map[String, Double], Seq[String], Seq[Double])]
         var accepted: Option[(Map[String, Double], Seq[String], Seq[Double])] = None
         var n = 0

@@ -22,4 +22,14 @@ class BenchSpec extends SparkSpec {
     assert(times.keySet == Set("ok"), times.toString)
     assert(times("ok") > 0.0)
   }
+
+  test("canaryBound: floor-relative, capped at 2x nominal") {
+    // quiet box at the calibrated nominal: bound IS the nominal
+    assert(Bench.canaryBound(1.44, 1.0) == 1.44)
+    // host-incarnation drift (r7: floor 1.52 on a provably-quiet box):
+    // the measured floor takes over, so retries can converge
+    assert(Bench.canaryBound(1.44, 1.52) == 1.52)
+    // a floor taken on a loud box can't blind the gate: capped at 2x
+    assert(Bench.canaryBound(1.44, 9.0) == 2.88)
+  }
 }
