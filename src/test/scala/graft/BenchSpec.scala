@@ -23,6 +23,39 @@ class BenchSpec extends SparkSpec {
     assert(times("ok") > 0.0)
   }
 
+  test("TaskCpuListener sums task CPU and run time across stages") {
+    val l = new BenchLevel.TaskCpuListener
+    spark.sparkContext.addSparkListener(l)
+    try {
+      import org.apache.spark.sql.functions._
+      // a job with a shuffle, so at least two stages complete
+      spark.range(1L << 18).groupBy(pmod(col("id"), lit(64))).count()
+        .write.format("noop").mode("overwrite").save()
+      Thread.sleep(500) // drain the async listener bus
+      assert(l.cpuSec > 0.0, s"cpuSec=${l.cpuSec}")
+      assert(l.runSec >= l.cpuSec / 64, s"runSec=${l.runSec} cpuSec=${l.cpuSec}")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("decompositionJson: identity eff = retire_ratio x slot_util ratio") {
+    def stats(wall: Double, cpu: Double) = graft.bench.ReplayBench.PipelineStats(
+      100, 50, 40, 10, wall, Map("task_cpu_sec" -> cpu))
+    // lo: 2 slots, 26 s wall, 52 CPU (fully busy); hi: 8 slots, 9.378 s
+    // wall, 67 CPU — the r7 cpuprobe reading
+    val lo = stats(26.005, 52.014)
+    val hi = stats(9.378, 67.056)
+    val js = Bench.decompositionJson(lo, hi, 2, 8)
+    val kv = js.drop(1).split(",").map(_.split(":")).map(a =>
+      a(0).replace("\"", "") -> a(1).toDouble).toMap
+    val rawEff = (lo.wallSec * 2) / (hi.wallSec * 8)
+    val recomposed = kv("cpu_retire_ratio") * kv("slot_util_hi") / kv("slot_util_lo")
+    assert(math.abs(recomposed - rawEff) < 0.01, s"$recomposed vs $rawEff")
+    assert(kv("slot_util_lo") > 0.95 && kv("slot_util_lo") <= 1.05)
+    assert(kv("slot_util_hi") > 0.85 && kv("slot_util_hi") < 0.95)
+    // missing task CPU on either side: no decomposition fields
+    assert(Bench.decompositionJson(stats(1, 0), hi, 2, 8) == "")
+  }
+
   test("canaryBound: floor-relative, capped at 2x nominal") {
     // quiet box at the calibrated nominal: bound IS the nominal
     assert(Bench.canaryBound(1.44, 1.0) == 1.44)
