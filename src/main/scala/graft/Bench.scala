@@ -83,6 +83,24 @@ object Bench {
   private[graft] def canaryBound(nominal: Double, floor: Double): Double =
     math.max(nominal, math.min(floor, 2 * nominal))
 
+  /** Among one leg's readings, pick the least-contaminated rep: the
+    * one that retired the frozen task set in the least task-CPU.
+    * Wall alone is the wrong selector on a multi-tenant box — a
+    * mid-rep host neighbor inflates CPU (and wall) even when every
+    * bracketing canary passes (r7_close3: hi leg 81.5 task-CPU-s vs
+    * 55–67 nominal, canaries under gate, raw efficiency 0.597 from
+    * one burned rep). Task-CPU is the direct in-the-act evidence, so
+    * min-CPU selects the rep measured under the quietest clock;
+    * wall tie-breaks, and reps without a CPU reading sort last. The
+    * rule is symmetric across legs: each leg is reported at its own
+    * best observed retirement rate, which is the matched-conditions
+    * comparison the efficiency quotient wants.
+    */
+  private[graft] def selectRep(runs: Seq[ReplayBench.PipelineStats])
+      : ReplayBench.PipelineStats =
+    runs.minBy(r => (r.stageSec.getOrElse("task_cpu_sec", Double.MaxValue),
+      r.wallSec))
+
   private[graft] def session(cpus: Int, parts: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -225,7 +243,7 @@ object Bench {
     def cleanMin(runs: Seq[ReplayBench.PipelineStats], memNominal: Double,
                  sparkNominal: Double): Option[ReplayBench.PipelineStats] = {
       val c = runs.filter(clean(memNominal, sparkNominal))
-      if (c.isEmpty) None else Some(c.minBy(_.wallSec))
+      if (c.isEmpty) None else Some(selectRep(c))
     }
     def cleanHi(runs: Seq[ReplayBench.PipelineStats]) = cleanMin(runs, memNomHi, sparkNomHi)
     def cleanLo(runs: Seq[ReplayBench.PipelineStats]) = cleanMin(runs, memNomLo, sparkNomLo)
@@ -247,15 +265,17 @@ object Bench {
       if (cleanLo(loRuns).isEmpty) loRuns ++= runLevel(loLevel, 1)
     }
     var contended = cleanHi(hiRuns).isEmpty || cleanLo(loRuns).isEmpty
-    var lo = cleanLo(loRuns).getOrElse(loRuns.minBy(_.wallSec))
-    var hi = cleanHi(hiRuns).getOrElse(hiRuns.minBy(_.wallSec))
+    var lo = cleanLo(loRuns).getOrElse(selectRep(loRuns))
+    var hi = cleanHi(hiRuns).getOrElse(selectRep(hiRuns))
     var efficiency = eff(lo, hi)
     // CROSS-LEVEL CPU CONSISTENCY (r7): the measured job's task set
     // is identical at both levels, so the selected pair's task-CPU
     // ratio hi/lo must sit near the quiet-box ~1.3× per-task
-    // inflation (BASELINE.md r3). A ratio outside [1/1.6, 1.6] means
-    // one leg retired the same instructions materially slower — a
-    // mid-rep neighbor the bracketing canaries can miss entirely
+    // inflation (BASELINE.md r3). Clean same-HEAD pairs measured
+    // 0.98–1.29; the r7_close3 burned pair read 1.52 and slipped the
+    // old 1.6 band, so the band is [1/1.5, 1.5]. A ratio outside it
+    // means one leg retired the same instructions materially slower —
+    // a mid-rep neighbor the bracketing canaries can miss entirely
     // (r7: 3 of 5 full runs burned with every canary under gate).
     // Same HEAD runs both legs, so unlike an absolute CPU nominal
     // this check is invariant to engine changes. Re-run the guilty
@@ -265,7 +285,7 @@ object Bench {
       r.stageSec.get("task_cpu_sec")
     def cpuRatio: Option[Double] =
       for (a <- taskCpu(lo); b <- taskCpu(hi)) yield b / a
-    val cpuTol = 1.6
+    val cpuTol = 1.5
     var cpuRetries = 0
     while (cpuRatio.exists(r => r > cpuTol || r < 1 / cpuTol) && cpuRetries < 2) {
       cpuRetries += 1
@@ -276,8 +296,8 @@ object Bench {
       Thread.sleep(15000)
       if (r > 1) hiRuns ++= runLevel(hiLevel, 1) else loRuns ++= runLevel(loLevel, 1)
       contended = cleanHi(hiRuns).isEmpty || cleanLo(loRuns).isEmpty
-      lo = cleanLo(loRuns).getOrElse(loRuns.minBy(_.wallSec))
-      hi = cleanHi(hiRuns).getOrElse(hiRuns.minBy(_.wallSec))
+      lo = cleanLo(loRuns).getOrElse(selectRep(loRuns))
+      hi = cleanHi(hiRuns).getOrElse(selectRep(hiRuns))
       efficiency = eff(lo, hi)
     }
     val cpuInconsistent = cpuRatio.exists(r => r > cpuTol || r < 1 / cpuTol)
@@ -311,8 +331,8 @@ object Bench {
       loRuns ++= runLevel(loLevel, 2)
       hiRuns ++= runLevel(hiLevel, 1)
       contended = cleanHi(hiRuns).isEmpty || cleanLo(loRuns).isEmpty
-      lo = cleanLo(loRuns).getOrElse(loRuns.minBy(_.wallSec))
-      hi = cleanHi(hiRuns).getOrElse(hiRuns.minBy(_.wallSec))
+      lo = cleanLo(loRuns).getOrElse(selectRep(loRuns))
+      hi = cleanHi(hiRuns).getOrElse(selectRep(hiRuns))
       efficiency = eff(lo, hi)
     }
     val anomalous = anomalousKind(efficiency)

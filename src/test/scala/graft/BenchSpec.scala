@@ -56,6 +56,24 @@ class BenchSpec extends SparkSpec {
     assert(Bench.decompositionJson(stats(1, 0), hi, 2, 8) == "")
   }
 
+  test("selectRep: min task-CPU wins over min wall; wall tie-breaks; CPU-less reps sort last") {
+    def stats(wall: Double, cpu: Option[Double]) = graft.bench.ReplayBench.PipelineStats(
+      100, 50, 40, 10, wall, cpu.map(c => Map("task_cpu_sec" -> c)).getOrElse(Map.empty))
+    // the r7_close3 shape: the min-WALL hi rep was the burned one
+    // (81.5 CPU-s vs ~59 nominal) — min-CPU must deselect it
+    val burnedFastWall = stats(9.1, Some(81.5))
+    val quietSlowerWall = stats(9.4, Some(59.3))
+    assert(Bench.selectRep(Seq(burnedFastWall, quietSlowerWall)) eq quietSlowerWall)
+    // equal CPU: wall tie-breaks
+    val a = stats(9.4, Some(59.3)); val b = stats(9.2, Some(59.3))
+    assert(Bench.selectRep(Seq(a, b)) eq b)
+    // a rep without a CPU reading never beats one with it
+    val noCpu = stats(8.0, None)
+    assert(Bench.selectRep(Seq(noCpu, quietSlowerWall)) eq quietSlowerWall)
+    // all without CPU: min wall
+    assert(Bench.selectRep(Seq(noCpu, stats(8.5, None))) eq noCpu)
+  }
+
   test("canaryBound: floor-relative, capped at 2x nominal") {
     // quiet box at the calibrated nominal: bound IS the nominal
     assert(Bench.canaryBound(1.44, 1.0) == 1.44)
