@@ -30,12 +30,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    persistently loud box self-flags "contended":true. MID-REP
   *    waves (r7: arrived after the pre canaries, burned the wall,
   *    left no canary trace) are caught two ways: each rep also
-  *    carries a POST canary bracket (cpu/mem gated at the same
-  *    nominals, ptr-chase gated 1.5× relative to its own pre
-  *    reading; spark-canary post evidence-only), and the selected
-  *    pair's task-CPU sums are cross-checked — the job's task set
-  *    is identical at both levels, so a hi/lo CPU ratio outside
-  *    [1/1.6, 1.6] re-runs the guilty leg and, failing that, flags
+  *    carries a POST canary bracket (cpu/mem/spark-canary gated at
+  *    the same bounds as pre, ptr-chase gated 1.5× relative to its
+  *    own pre reading), each leg's rep is selected by MIN TASK-CPU
+  *    (in-the-act contamination evidence over an identical task
+  *    set; wall tie-breaks), and the selected pair's task-CPU sums
+  *    are cross-checked — a hi/lo CPU ratio outside [1/1.5, 1.5]
+  *    re-runs the guilty leg and, failing that, flags
   *    "cpu_inconsistent":true. An efficiency above 1.02 —
   *    or at/under 0.25 WITH contended canaries — is a measurement
   *    pathology: loud re-measure, then "anomalous":true +
@@ -300,7 +301,6 @@ object Bench {
       hi = cleanHi(hiRuns).getOrElse(selectRep(hiRuns))
       efficiency = eff(lo, hi)
     }
-    val cpuInconsistent = cpuRatio.exists(r => r > cpuTol || r < 1 / cpuTol)
     // An efficiency outside the PLAUSIBILITY band (0.25, 1.02] is a
     // measurement pathology, not a scaling result: > 1.02 is
     // physically impossible; ≤ 0.25 means 4× the slots delivered
@@ -335,6 +335,12 @@ object Bench {
       hi = cleanHi(hiRuns).getOrElse(selectRep(hiRuns))
       efficiency = eff(lo, hi)
     }
+    // Computed AFTER the anomaly re-measure above: that block can
+    // reassign lo/hi, and the flag must describe the PAIR the
+    // artifact actually ships — a flag frozen before the re-measure
+    // could mark an out-of-band replacement pair consistent (or a
+    // replaced-away pair inconsistent).
+    val cpuInconsistent = cpuRatio.exists(r => r > cpuTol || r < 1 / cpuTol)
     val anomalous = anomalousKind(efficiency)
     if (anomalous.isDefined) {
       System.err.println(f"[bench] efficiency STILL anomalous after re-measure: " +
@@ -457,6 +463,19 @@ object Bench {
         try {
           fn(s1, sfDir).write.format("noop").mode("overwrite").save()
           times += name -> (System.nanoTime() - t0) / 1e9
+          // Release per-execution scratch blocks OUTSIDE the timed
+          // window: queries that materialize intermediates via
+          // localCheckpoint (pipeline_curate's survivors/pairs/counts)
+          // otherwise release them only when the driver GCs the RDD
+          // reference — and this sweep runs each query up to ~9 times
+          // in one session (warm-up + min-of-2 × up to 3 contention
+          // attempts), the exact shape under which GC-deferred blocks
+          // accumulate (the DedupOps A/B that rejected a cached
+          // variant measured walls 21→30→65 s from this class of
+          // carry-over). Queries are pure, so nothing is meant to
+          // survive between executions.
+          s1.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] query $name FAILED: ${e.getClass.getSimpleName}: " +
@@ -622,7 +641,12 @@ object BenchLevel {
       val canary = cpuCanary()
       val canaryPar = cpuCanaryPar(level.toInt)
       val canaryMem = memCanaryPar(level.toInt)
-      val canaryChase = ptrChaseNs()
+      // min-of-3 on BOTH chase readings: each is a single random walk
+      // whose quiet-class spread (~150–250 ns) is wider than the
+      // post/pre 1.5× gate, so single-shot readings can flag a clean
+      // rep on pure TLB/cache luck; min-of-3 collapses the jitter the
+      // way every other canary here already does.
+      val canaryChase = (1 to 3).map(_ => ptrChaseNs()).min
       val canarySpark = sparkCanary(s)
       val cpuL = new TaskCpuListener
       s.sparkContext.addSparkListener(cpuL)
@@ -656,7 +680,21 @@ object BenchLevel {
       val gcCount = math.max(0L, gcCount1 - gcCount0).toDouble
       // drain the async listener bus before reading the CPU sums
       // (wall was already captured — the sleep is off the clock)
-      Thread.sleep(400)
+      // Positive listener-bus drain, not a fixed sleep: poll until the
+      // task sums are stable for two consecutive 100 ms windows (max
+      // 3 s). A fixed sleep undercounts task CPU exactly when the box
+      // is loud (bus lag grows with contention) — and an undercounted
+      // burned rep would win the min-task-CPU selection, inverting
+      // the selector's purpose.
+      locally {
+        var stable = 0; var waited = 0
+        var last = (cpuL.cpuSec, cpuL.runSec)
+        while (stable < 2 && waited < 3000) {
+          Thread.sleep(100); waited += 100
+          val cur = (cpuL.cpuSec, cpuL.runSec)
+          if (cur == last) stable += 1 else { stable = 0; last = cur }
+        }
+      }
       s.sparkContext.removeSparkListener(cpuL)
       // POST bracket (r7: a wave arriving MID-REP inflated the wall
       // while the pre canaries read clean — 3 of 5 full runs burned
@@ -669,7 +707,7 @@ object BenchLevel {
       // heap/GC state does not inflate it on a quiet box).
       val postPar = cpuCanaryPar(level.toInt)
       val postMem = memCanaryPar(level.toInt)
-      val postChase = ptrChaseNs()
+      val postChase = (1 to 3).map(_ => ptrChaseNs()).min
       val postSpark = sparkCanary(s)
       // the canaries + external-cpu ride the emission as pseudo-
       // stages, so every reading carries its own box-state evidence

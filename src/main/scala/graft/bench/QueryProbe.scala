@@ -29,6 +29,11 @@ object QueryProbe {
         val n = if (useCount) df.count()
                 else { df.write.format("noop").mode("overwrite").save(); -1L }
         println(f"[queryprobe] $name rep$i rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+        // same between-rep scratch-block release as Bench.runQueries:
+        // localCheckpoint blocks are otherwise GC-deferred and would
+        // accumulate across reps, skewing the later ones
+        s.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     }
     s.stop()

@@ -323,13 +323,26 @@ object CrawlJob {
       // shared context bus, so an external caller looping runRound
       // over O(100s) of rounds grew the bus fan-out round after round
       // — the exact leak run() closes with its one-session-per-run
-      // pattern. The three round knobs are (re)set per call in
-      // runRoundInner, so reuse across different Configs is correct
-      // for sequential calls; CONCURRENT runRound calls with
-      // DIFFERENT override configs against the SAME caller session
-      // would share one SQLConf — use run(), or distinct caller
-      // sessions (spark.newSession()), for that shape.
-      runRoundInner(roundSessionFor(spark), cfg, log, snap, round, net, carry)
+      // pattern. runRoundInner only sets a knob when THIS cfg
+      // overrides it, and the cached session remembers knobs set by
+      // PREVIOUS cfgs — so every knob this cfg leaves at its default
+      // is first restored to the caller's current value (which also
+      // re-inherits caller-side changes made between calls).
+      // CONCURRENT runRound calls with DIFFERENT override configs
+      // against the SAME caller session would share one SQLConf —
+      // use run(), or distinct caller sessions (spark.newSession()),
+      // for that shape.
+      val rs = roundSessionFor(spark)
+      if (cfg.roundShufflePartitions <= 0)
+        rs.conf.set("spark.sql.shuffle.partitions",
+          spark.conf.get("spark.sql.shuffle.partitions"))
+      if (cfg.roundWholeStageCodegen)
+        rs.conf.set("spark.sql.codegen.wholeStage",
+          spark.conf.get("spark.sql.codegen.wholeStage", "true"))
+      if (cfg.roundAdaptive)
+        rs.conf.set("spark.sql.adaptive.enabled",
+          spark.conf.get("spark.sql.adaptive.enabled", "true"))
+      runRoundInner(rs, cfg, log, snap, round, net, carry)
     } else runRoundInner(spark, cfg, log, snap, round, net, carry)
   }
 

@@ -323,17 +323,23 @@ object TextOps {
     // orderBy id) spec — every branch then ships the identical
     // (id, n_tokens, __bkt) projection. The bt/super branches re-sort
     // and re-window the reused shuffle output — pennies (24-byte
-    // rows). Null-id docs were ALREADY dropped (silently, by the
-    // inner join on __bkt); filtering explicitly makes that uniform
-    // across branches. The coalesce makes __bkt/__sup NON-NULLABLE
-    // by construction (the -1 arm is unreachable under the filter),
-    // so InferFiltersFromConstraints never plants the per-branch
-    // isnotnull(__bkt)/isnotnull(__sup) filters that otherwise land
-    // at different plan positions and break reuse canonicalization.
-    val t = counts.where(col(idCol).isNotNull)
+    // rows). The bucket math NEEDS a numeric id, so docs whose id is
+    // null OR does not parse as a long are excluded up front — one
+    // uniform rule across branches (pre-refactor they fell out
+    // silently via the inner join on a null __bkt; an unguarded
+    // cast("long") would instead throw under ANSI, or under lenient
+    // casts funnel every unparseable id into one skewed bucket). The
+    // coalesce makes __bkt/__sup NON-NULLABLE by construction (the
+    // -1 arm is unreachable under the filter — both null sources are
+    // filtered), so InferFiltersFromConstraints never plants the
+    // per-branch isnotnull(__bkt)/isnotnull(__sup) filters that
+    // otherwise land at different plan positions and break reuse
+    // canonicalization.
+    val idLong = expr(s"try_cast(`$idCol` as long)")
+    val t = counts.where(col(idCol).isNotNull && idLong.isNotNull)
       .select(col(idCol), col(countCol).cast("long").as("n_tokens"))
       .withColumn("__bkt",
-        coalesce((col(idCol).cast("long") / bucketWidth).cast("long"), lit(-1L)))
+        coalesce((idLong / bucketWidth).cast("long"), lit(-1L)))
     val wWithin = Window.partitionBy("__bkt").orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wBucket = Window.partitionBy("__bkt").orderBy(col(idCol))

@@ -420,9 +420,26 @@ final class SnapshotLog(val root: String) extends SnapshotTable {
   def gcOrphanDirs(graceMs: Long = 24L * 3600 * 1000): Int = {
     val dataRoot = rootPath.resolve("data")
     if (!Files.isDirectory(dataRoot)) return 0
-    val live: Set[Path] =
-      listIds().flatMap(id => read(id).tables.values.flatten)
-        .map(d => Paths.get(d).toAbsolutePath.normalize).toSet
+    // Liveness is keyed by the layout-invariant suffix
+    // <table>/<delta-dir> (delta dir names are nonce-unique), NOT by
+    // absolute-path string identity: manifests record the root as the
+    // WRITER spelled it, so a maintenance process opening the same log
+    // via a different spelling (relative vs absolute CWD, a symlinked
+    // mount) would otherwise see zero overlap between recorded and
+    // listed dirs — and a destructive op that mistakes live data for
+    // orphans deletes committed tables. A concurrently-expired
+    // manifest (listIds raced an expireSnapshots) is skipped: its
+    // dirs were already handled by that expiry, exactly as if
+    // listIds had run after it; any OTHER read failure aborts the
+    // GC (fail-safe: never delete on partial knowledge).
+    def dirKey(table: String, dir: String): (String, String) = (table, dir)
+    val live: Set[(String, String)] =
+      listIds().flatMap { id =>
+        try Some(parse(Files.readString(manifestPath(id))))
+        catch { case _: java.nio.file.NoSuchFileException => None }
+      }.flatMap(_.tables.toSeq.flatMap { case (t, dirs) =>
+        dirs.map(d => dirKey(t, Paths.get(d).getFileName.toString))
+      }).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     def newestMtime(p: Path): Long =
       scala.util.Using.resource(Files.walk(p)) { walk =>
@@ -436,7 +453,8 @@ final class SnapshotLog(val root: String) extends SnapshotTable {
       val candidates = scala.util.Using.resource(Files.list(t)) { s =>
         s.iterator().asScala.filter(Files.isDirectory(_)).toSeq }
       candidates.foreach { d =>
-        if (!live.contains(d.toAbsolutePath.normalize) && newestMtime(d) < cutoff) {
+        val key = dirKey(t.getFileName.toString, d.getFileName.toString)
+        if (!live.contains(key) && newestMtime(d) < cutoff) {
           if (deleteDirRecursively(d)) deleted += 1
         }
       }

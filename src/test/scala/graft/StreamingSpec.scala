@@ -222,6 +222,22 @@ class StreamingSpec extends SparkSpec {
     assert(log.readTable(s, head, "t").get.count() == 2, "live table intact after GC")
     // idempotent: nothing left to collect
     assert(log.gcOrphanDirs(graceMs = 1) == 0)
+    // Liveness must be path-spelling invariant: a maintenance process
+    // opening the same log through a DIFFERENT spelling of the root
+    // (a symlinked mount here; relative-vs-absolute CWD in
+    // production) must not mistake live dirs for orphans — a
+    // destructive op comparing absolute-path strings would resolve
+    // the manifest-recorded writer spelling and the symlink-listed
+    // candidates to disjoint sets and delete every committed table
+    // (Path.normalize folds "." and "..", not symlinks).
+    val linkRoot = java.nio.file.Files.createTempDirectory("snap-gc-link")
+    java.nio.file.Files.delete(linkRoot)
+    java.nio.file.Files.createSymbolicLink(
+      linkRoot, java.nio.file.Paths.get(root))
+    val viaLink = new graft.snapshot.SnapshotLog(linkRoot.toString)
+    assert(viaLink.gcOrphanDirs(graceMs = 1) == 0,
+      "live dirs must stay live when the log is opened via a symlinked root")
+    assert(log.readTable(s, log.latest().get, "t").get.count() == 2)
   }
 
   test("snapshot publish: no-hardlink ATOMIC_MOVE fallback — single writer succeeds, no tmp leak") {

@@ -463,6 +463,40 @@ class ResumeSpec extends SparkSpec {
     assert(!(CrawlJob.roundSessionFor(other) eq iso1))
   }
 
+  test("sequential runRound calls with different configs do not leak knobs through the cached session") {
+    // The isolated round session is cached across runRound calls, and
+    // runRoundInner only sets a knob when the CURRENT cfg overrides
+    // it — so a knob overridden by an earlier cfg must be restored to
+    // the caller's value when a later cfg leaves it at default,
+    // or cfgA's adaptive=false would silently apply to cfgB's rounds.
+    val caller = spark.newSession()
+    val root = Files.createTempDirectory("crawl-knobs").toString
+    val log = new SnapshotLog(root)
+    log.init()
+    import spark.implicits._
+    var snap = log.commit(
+      deltas = Map.empty,
+      replaced = Map(
+        CrawlJob.ListingTable -> CrawlJob.seedListing(seeds).toDS().toDF(),
+        CrawlJob.DocsFrontierTable -> spark.emptyDataset[graft.model.DocTask].toDF()),
+      props = Map("round" -> "-1", "done" -> "false"))
+    val cfgA = cfg.copy(roundShufflePartitions = 3,
+      roundWholeStageCodegen = false, roundAdaptive = false)
+    val rr = CrawlJob.runRound(caller, cfgA, log, snap, 0)
+    snap = log.read(rr.snapshotId)
+    val iso = CrawlJob.roundSessionFor(caller)
+    assert(iso.conf.get("spark.sql.adaptive.enabled") == "false")
+    // cfgB overrides only the partition count; the other two knobs
+    // must come back to the CALLER's values, not cfgA's leftovers
+    val cfgB = cfg.copy(roundShufflePartitions = 5)
+    CrawlJob.runRound(caller, cfgB, log, snap, 1)
+    assert(iso.conf.get("spark.sql.shuffle.partitions") == "5")
+    assert(iso.conf.get("spark.sql.adaptive.enabled") ==
+      caller.conf.get("spark.sql.adaptive.enabled"))
+    assert(iso.conf.get("spark.sql.codegen.wholeStage") ==
+      caller.conf.get("spark.sql.codegen.wholeStage", "true"))
+  }
+
   test("torn manifest write does not corrupt the log (atomic commit)") {
     val root = Files.createTempDirectory("crawl-torn").toString
     val log = new SnapshotLog(root)
