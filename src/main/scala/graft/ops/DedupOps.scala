@@ -166,7 +166,15 @@ object DedupOps {
       .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
-  /** One wide row per doc: min-hash columns mh0..mh{bands·rows−1}. */
+  /** One wide row per doc: min-hash columns mh0..mh{bands·rows−1}.
+    *
+    * (A round-8 narrow variant — per-doc array folds with zero
+    * exchange — was measured and REJECTED: higher-order lambdas are
+    * interpreted per element, and the 4 md5-array + 16 slice-min
+    * transforms read 1.41 → 3.42 s warm on dedup_minhash_lsh at
+    * sf0.1 despite deleting both agg exchanges. The groupBy form
+    * keeps every digest/substring inside whole-stage codegen.)
+    */
   private def wideMinhash(docs: DataFrame, idCol: String, textCol: String,
                           n: Int, bands: Int, rows: Int): DataFrame = {
     // per-doc-distinct shingles, built narrowly (shingles scaladoc):
@@ -188,6 +196,7 @@ object DedupOps {
     sh.groupBy(col(idCol)).agg(minCols.head, minCols.tail: _*)
   }
 
+
   /** MinHash+LSH candidate pairs: docs sharing any full band
     * signature. Returns distinct (id_a, id_b), id_a < id_b.
     *
@@ -202,6 +211,10 @@ object DedupOps {
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, bands: Int = 4, rows: Int = 4): DataFrame = {
+    // (round 8: a conv-to-int64 min-hash variant — min(long) buffers
+    // hash-aggregate where min(string) sort-aggregates — was measured
+    // and REJECTED: the per-shingle conv() cost exceeded the deleted
+    // sort, 1.64 → 2.25 s warm on this query at sf0.1.)
     val wide = wideMinhash(docs, idCol, textCol, n, bands, rows)
     val bandSigs = (0 until bands).map { b =>
       val cols = (b * rows until (b + 1) * rows).map(h => col(s"mh$h"))
@@ -268,7 +281,8 @@ object DedupOps {
   def connectedComponents(ids: DataFrame, idCol: String, pairs: DataFrame,
                           aCol: String, bCol: String,
                           maxIter: Int = 25,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None,
+                          smallGraphMaxPairs: Long = 1L << 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = ids.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
@@ -286,6 +300,53 @@ object DedupOps {
     // generator (LSH over a filtered corpus) runs twice
     val prs = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // SIZE-ADAPTIVE STRATEGY (round 8; the exact analog of
+    // Config.sketchBroadcastMaxBytes and Spark's own
+    // autoBroadcastJoinThreshold): the distributed loop costs
+    // O(log n) ROUNDS of joins+aggregates+fixpoint actions — ~10-15
+    // Spark jobs of pure sequencing latency when the pair graph is
+    // small (the common curation case: near-dup pairs ≪ corpus).
+    // When the pair count is bounded (default 2^20 pairs = 16 MB
+    // collected, ≤ 2·2^20 participant ids), collect the edge list and
+    // run UNION-FIND driver-side — min-id roots, so the labels are
+    // IDENTICAL to the loop's min-reachable fixpoint — then rejoin
+    // singletons exactly as the loop does (participants broadcast to
+    // the anti-join). The count() gate is one partial-aggregated job
+    // over the (already persisted) pair projection; above the
+    // threshold the distributed loop runs unchanged — at the 100 TB
+    // design point pair counts exceed any driver bound and the loop
+    // is the only correct shape. Both paths are pinned equal in
+    // DedupSkewSpec/OpsSpec (threshold 0 forces the loop).
+    val nPairs = prs.count()
+    if (nPairs <= smallGraphMaxPairs) {
+      val edgeRows = prs.collect()
+      prs.unpersist()
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edgeRows.foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        if (!parent.contains(a)) parent.update(a, a)
+        if (!parent.contains(b)) parent.update(b, b)
+        val ra = find(a); val rb = find(b)
+        // min root wins ⇒ every component's root is its min id
+        if (ra < rb) parent.update(rb, ra)
+        else if (rb < ra) parent.update(ra, rb)
+      }
+      val labelRows = parent.keys.toArray.sorted.map(k => (k, find(k))).toSeq
+      import spark.implicits._
+      val labelsLocal = labelRows.toDF("id", "label")
+      val singletons = ids.select(col(idCol).cast("long").as("id"))
+        .join(broadcast(labelsLocal.select("id")), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("label"))
+      return labelsLocal.unionByName(singletons)
+        .select(col("id").as(idCol), col("label").as("cluster_rep"))
+    }
     val edges = prs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(prs.select(col("b").as("src"), col("a").as("dst")))
       .distinct()

@@ -82,10 +82,17 @@ class DedupSkewSpec extends SparkSpec {
     }
     val want = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
     val ckDir = java.nio.file.Files.createTempDirectory("cc-ck").toString
+    // smallGraphMaxPairs = 0 forces the DISTRIBUTED loop so reliable
+    // checkpointing is actually exercised (the default path would run
+    // the driver union-find and write no checkpoint files)
     val gotCk = DedupOps.connectedComponents(ids, "doc_id", pairs, "id_a", "id_b",
-        checkpointDir = Some(ckDir))
+        checkpointDir = Some(ckDir), smallGraphMaxPairs = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(gotCk == want, "checkpoint mode diverged from union-find oracle")
+    // the size-adaptive driver path must agree as well
+    val gotSmall = DedupOps.connectedComponents(ids, "doc_id", pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotSmall == want, "small-graph driver path diverged from union-find oracle")
     // checkpoint files actually landed in the reliable dir
     val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
       .filter(java.nio.file.Files.isRegularFile(_)).count()

@@ -44,10 +44,17 @@ class OpsSpec extends SparkSpec {
     val ids = (Seq(1L, 2L, 3L, 4L, 5L, 6L) ++ (10L to 15L)).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L),
       (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L)).toDF("id_a", "id_b")
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L, 15L -> 10L)
+    // default path (small graph → driver union-find)
     val got = DedupOps.connectedComponents(ids, "doc_id", pairs, "id_a", "id_b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L, 15L -> 10L))
+    assert(got == want)
+    // forced distributed pointer-jumping loop (smallGraphMaxPairs = 0)
+    val gotLoop = DedupOps.connectedComponents(ids, "doc_id", pairs, "id_a", "id_b",
+        smallGraphMaxPairs = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotLoop == want)
   }
 
   test("connected components == union-find oracle on random graphs (property)") {
@@ -70,6 +77,11 @@ class OpsSpec extends SparkSpec {
       val got = DedupOps.connectedComponents(ids, "doc_id", pairs, "id_a", "id_b")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == want, s"trial $trial (n=$n)")
+      // the distributed loop must agree with the driver union-find path
+      val gotLoop = DedupOps.connectedComponents(ids, "doc_id", pairs, "id_a", "id_b",
+          smallGraphMaxPairs = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotLoop == want, s"trial $trial (n=$n) loop path")
     }
   }
 
