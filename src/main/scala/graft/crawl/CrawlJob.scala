@@ -453,10 +453,14 @@ object CrawlJob {
       .withColumn("__passes", passes)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // single select, not chained withColumns: every DataFrame op
+    // re-analyzes the whole accumulated tree, and the round loop pays
+    // that per round (round 8 driver-latency cut; same plan)
     val kept = candidates.where(col("__passes"))
-      .withColumn("url", concat(lit(net.urlBase), col("adjunct_url")))
-      .withColumn("seen_key", concat_ws("",
-        col("sec_code_raw"), col("title"), col("time_ms"), col("time_str"), col("adjunct_url")))
+      .select(col("*"),
+        concat(lit(net.urlBase), col("adjunct_url")).as("url"),
+        concat_ws("", col("sec_code_raw"), col("title"), col("time_ms"),
+          col("time_str"), col("adjunct_url")).as("seen_key"))
 
     // ---- 3. within-batch first-wins (A1) — hash aggregate with
     // map-side combine (not a window: dup-heavy batches shrink
@@ -547,11 +551,10 @@ object CrawlJob {
     // pass-through), so the deferred set is a plain projection — no
     // re-join on url, which is not unique (two announcements can share
     // an adjunctUrl; the dedup identity is the 4-tuple seenKey).
-    val schedIn = allowed
-      .withColumn("priority", col("announceEpochDay").cast("long"))
-      .withColumn("tiebreak",
-        concat_ws("|", col("secCode"), lpad(col("pageDepth").cast("string"), 6, "0"),
-          col("seenKey")))
+    val schedIn = allowed.select(col("*"),
+      col("announceEpochDay").cast("long").as("priority"),
+      concat_ws("|", col("secCode"), lpad(col("pageDepth").cast("string"), 6, "0"),
+        col("seenKey")).as("tiebreak"))
     val assigned = Scheduler
       .assignVirtualTicksCols(schedIn, cfg.saltCount, cfg.tokensPerTick, cfg.tickMs)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -581,10 +584,11 @@ object CrawlJob {
     val probeCt = udf(net.fetchContentType _)
     val probeMagic = udf(net.fetchMagic _)
     val probedFetch = toFetch
-      .select("url", "arrivalSeq", "secCode", "company", "title", "timeMs", "timeStr")
-      .withColumn("status", probeStatus(col("url")))
-      .withColumn("content_type", probeCt(col("url")))
-      .withColumn("magic", probeMagic(col("url")))
+      .select(col("url"), col("arrivalSeq"), col("secCode"), col("company"),
+        col("title"), col("timeMs"), col("timeStr"),
+        probeStatus(col("url")).as("status"),
+        probeCt(col("url")).as("content_type"),
+        probeMagic(col("url")).as("magic"))
       .withColumn("__valid",
         Validate.isValid(col("status"), col("content_type"), col("magic")))
       .persist(StorageLevel.MEMORY_AND_DISK)

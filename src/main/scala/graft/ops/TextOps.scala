@@ -396,6 +396,10 @@ object TextOps {
     val t = col("__t")
     val nGrams = length(t) - (k - 1)
     val grams = transform(sequence(lit(1), nGrams), i => md5(t.substr(i, lit(k))))
+    // (round 8: a least(element_at×w) variant — no per-window slice
+    // allocation — was measured and REJECTED: 2.7 → 2.9 s warm at
+    // sf0.1; slice is one native array copy + a tight array_min loop,
+    // cheaper than w interpreted element_at calls.)
     val winMins = transform(sequence(lit(1), nGrams - (w - 1)),
       j => array_min(slice(col("__grams"), j, lit(w))))
     df.select(col(idCol), col(textCol).as("__t"))

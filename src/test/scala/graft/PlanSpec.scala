@@ -13,8 +13,38 @@ class PlanSpec extends SparkSpec {
 
   private val d = "/root/testdata/sf0.001"
 
+  /** Operator-shape gates run with the small-input spread DISABLED
+    * (isolated session, spread.maxBytes=0): the gates pin the shapes
+    * the OPERATORS promise at the 100 TB design point, where the
+    * spread never fires — its exchange would otherwise mask a real
+    * "0 exchanges" regression (or trip the gate spuriously). The
+    * spread rule itself has its own gate below.
+    */
+  private lazy val noSpread = {
+    val s = spark.newSession()
+    s.conf.set("spark.graft.spread.maxBytes", "0")
+    s
+  }
+
   private def plan(name: String): String =
-    SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+    SparkEntry.queries(name)(noSpread, d).queryExecution.executedPlan.toString
+
+  test("small-input spread: fires inside the size band, never outside") {
+    import org.apache.spark.sql.functions.col
+    // documents at sf0.001 (~64 KB) is inside [16 KB, 64 MB] → spread
+    val on = Tables.load(spark, d, "documents")
+      .where(col("doc_id") >= 0).queryExecution.executedPlan.toString
+    assert(on.contains("Exchange RoundRobinPartitioning"),
+      s"spread must fire on a small unsplittable table:\n$on")
+    // region (~2 KB) is under the floor → narrow scan, no exchange
+    val dim = Tables.load(spark, d, "region").queryExecution.executedPlan.toString
+    assert(!dim.contains("Exchange"),
+      s"spread must skip constant-size dims:\n$dim")
+    // maxBytes=0 disables it globally (the design-point default state)
+    val off = Tables.load(noSpread, d, "documents")
+      .queryExecution.executedPlan.toString
+    assert(!off.contains("Exchange"), s"spread must be disableable:\n$off")
+  }
 
   private def count(p: String, needle: String): Int =
     p.split("\n").count(_.contains(needle))
@@ -167,15 +197,15 @@ class PlanSpec extends SparkSpec {
     // them (AQE's runtime stage dedup keys on the same
     // canonicalization, so green here means green adaptively).
     val key = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.get(key)
+    val prev = noSpread.conf.get(key)
     try {
-      spark.conf.set(key, "false")
+      noSpread.conf.set(key, "false")
       val p = plan("text_pack_sequences")
       assert(count(p, "ReusedExchange") >= 2,
         s"the bt/super branches must reuse the data exchange:\n$p")
       assert(count(p, "Scan parquet") == 1,
         s"pack must tokenize its input exactly once:\n$p")
-    } finally spark.conf.set(key, prev)
+    } finally noSpread.conf.set(key, prev)
   }
 
   test("text_contamination: shingle overlap is an equi-join, no cartesian") {
