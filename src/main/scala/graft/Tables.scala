@@ -46,9 +46,24 @@ object Tables {
       fs.getContentSummary(p).getLength
     } catch { case _: Throwable => -1L }
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  /** `spread = false` opts a call site out of the small-input spread:
+    * the spread pays only when the downstream per-row work dominates
+    * one extra exchange of the (small) input. Consumers that do one
+    * cheap pass — a single partial-aggregated groupBy, a
+    * WindowGroupLimit top-k, a broadcast-bound join — measured
+    * slower WITH the spread at sf0.1 (+0.1-0.3 s each: the exchange
+    * and its stage are pure latency against trivial compute), so
+    * they opt out where compute-heavy consumers (md5/regexp
+    * derivations, shingling, fingerprints) keep the default. At the
+    * design point the band makes both identical (the spread never
+    * fires above maxBytes), so the flag only shapes small-input
+    * execution.
+    */
+  def load(spark: SparkSession, sfDir: String, name: String,
+           spread: Boolean = true): DataFrame = {
     val path = s"$sfDir/$name.parquet"
     val df = spark.read.parquet(path)
+    if (!spread) return df
     val lo = spark.conf.get("spark.graft.spread.minBytes", (16L << 10).toString).toLong
     val hi = spark.conf.get("spark.graft.spread.maxBytes", (64L << 20).toString).toLong
     val bytes = tableBytes(spark, path)

@@ -200,7 +200,10 @@ object CrawlQueries {
     // user-forced full shuffle Catalyst cannot elide).
     "priority_topk" -> ((s, d) => {
       val m = md5(col("o_orderkey").cast("string"))
-      val tasks = Tables.load(s, d, "orders").select(
+      // spread opt-out (Tables.load scaladoc): TakeOrderedAndProject
+      // is per-partition top-k heaps — the spread's exchange is pure
+      // latency before a local O(k) pass
+      val tasks = Tables.load(s, d, "orders", spread = false).select(
         to_date(col("o_orderdate")).as("announce_date"),
         lpad(((col("o_custkey") * 37) % 1000000).cast("string"), 6, "0").as("stock_code"),
         (ascii(substring(m, 3, 1)) % 5 + 1).cast("long").as("page_depth"),
@@ -273,7 +276,11 @@ object CrawlQueries {
     * and plain ints — exercises A4's first-positive-else-first rule.
     */
   def deriveLongRows(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.load(s, d, "documents").select(col("doc_id"))
+    // spread opt-out (Tables.load scaladoc): the doc spine is one
+    // column; the md5 derive fans out AFTER the 6-row cross join and
+    // the widen windows re-exchange on doc_id anyway — the spread
+    // measured +0.27 s on crawl_wide_report at sf0.1
+    val base = Tables.load(s, d, "documents", spread = false).select(col("doc_id"))
       .crossJoin(spark_kj(s))
     val m = md5(concat(col("doc_id").cast("string"), lit(":"),
       col("k").cast("string"), lit(":"), col("j").cast("string")))

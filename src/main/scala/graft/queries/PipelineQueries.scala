@@ -68,8 +68,12 @@ object PipelineQueries {
     s"(SELECT sum($a[i]*$b[i]) FROM generate_series(1, 64) t(i))"
 
   val entries: Map[String, QFn] = Map(
+    // spread opt-out (Tables.load scaladoc): one md5 + one
+    // partial-agg exchange — the spread's extra stage is pure
+    // latency against that (measured +0.2 s at sf0.1)
     "dedup_exact" -> ((s, d) =>
-      DedupOps.exact(docs(s, d), "doc_id", "text")),
+      DedupOps.exact(Tables.load(s, d, "documents", spread = false),
+        "doc_id", "text")),
 
     // maxDf=50 exercises the quadratic-blowup guard (shingles present
     // in >50 docs are candidate-generation noise); the oracle applies
@@ -114,8 +118,10 @@ object PipelineQueries {
       SimilarityOps.embeddingLshPairs(emb(s, d), "vec_id", "embedding",
         num = 2, den = 5)),
 
+    // spread opt-out: both sides of the broadcast nested-loop would
+    // pay a spread exchange before the (latency-bound) k·n dot pass
     "ann_bruteforce_topk" -> ((s, d) => {
-      val e = emb(s, d)
+      val e = Tables.load(s, d, "embeddings", spread = false)
       SimilarityOps.annBruteForce(e.where(col("vec_id") % 50 === 0), e,
         "vec_id", "embedding", k = 5)
     }),

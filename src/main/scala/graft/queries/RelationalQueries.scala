@@ -22,6 +22,16 @@ object RelationalQueries {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
+  /** Small-input-spread opt-out (Tables.load scaladoc): for queries
+    * whose whole body is one cheap pass — a single partial-agg
+    * groupBy or a WindowGroupLimit window — the spread's exchange is
+    * pure added latency at small scale (measured +0.1-0.3 s each,
+    * round 8); identical at the design point where the spread is
+    * inert.
+    */
+  private def tn(s: SparkSession, dir: String, n: String) =
+    Tables.load(s, dir, n, spread = false)
+
   /** Exact money sum: decimal accumulation, one final double cast. */
   private def moneySum(c: org.apache.spark.sql.Column) =
     sum(c.cast("decimal(18,2)")).cast("double")
@@ -84,7 +94,7 @@ object RelationalQueries {
       // total order — SURVEY.md §2.5).
       val w = Window.partitionBy("l_orderkey")
         .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
-      t(s, d, "lineitem")
+      tn(s, d, "lineitem")
         .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
         .select(col("l_orderkey"), col("l_linenumber").cast("long").as("first_line"),
           col("l_partkey").as("first_part"))
@@ -94,7 +104,7 @@ object RelationalQueries {
     "q7_latest_per_key" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_orderdate").desc_nulls_last, col("o_orderkey").asc)
-      t(s, d, "orders")
+      tn(s, d, "orders")
         .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
         .select(col("o_custkey"), col("o_orderkey").as("latest_order"),
           to_date(col("o_orderdate")).as("latest_date"))
@@ -115,7 +125,7 @@ object RelationalQueries {
       val w = Window.partitionBy("l_orderkey")
         .orderBy((col("l_discount") > 0).desc, col("l_linenumber").asc,
           col("l_partkey").asc, col("l_suppkey").asc)
-      t(s, d, "lineitem")
+      tn(s, d, "lineitem")
         .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
         .select(col("l_orderkey"), col("l_linenumber").cast("long").as("picked_line"),
           col("l_discount").as("picked_discount"))
@@ -139,7 +149,7 @@ object RelationalQueries {
 
     // §2.7: union + distinct.
     "q11_union_distinct" -> ((s, d) => {
-      val o = t(s, d, "orders")
+      val o = tn(s, d, "orders")
       o.where(col("o_totalprice") > 350000).select("o_orderkey")
         .union(o.where(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
           .select("o_orderkey"))
@@ -148,7 +158,7 @@ object RelationalQueries {
 
     // E-date4: −3-month fiscal shift with day clamping (add_months).
     "q12_date_shift" -> ((s, d) => {
-      t(s, d, "orders")
+      tn(s, d, "orders")
         .withColumn("shifted", add_months(col("o_orderdate"), -3))
         .groupBy(year(col("shifted")).cast("long").as("fiscal_year"),
           month(col("shifted")).cast("long").as("fiscal_month"))
