@@ -64,7 +64,7 @@ object RelationalQueries {
     "q3_topk_per_group" -> ((s, d) => {
       val w = Window.partitionBy("o_orderpriority")
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      t(s, d, "orders")
+      tn(s, d, "orders")
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= 3)
         .select(col("o_orderpriority"), col("o_orderkey"), col("rank").cast("long").as("rank"))
