@@ -48,8 +48,21 @@ object CrawlQueries {
 
   val entries: Map[String, QFn] = Map(
     // Stage-1 postprocess: F1+F2 filters, code canon, A2+A3 windows.
-    "crawl_postprocess" -> ((s, d) =>
-      Report.postprocessStage1(deriveAnnouncements(s, d), TargetYears)),
+    // PUSHDOWN BARRIER on the derived title (guide ~ "mark expensive
+    // expressions non-deterministic to stop the optimizer duplicating
+    // them"): postprocessStage1's F1/F2 predicates reference `title`,
+    // and predicate pushdown substitutes the md5 when-chain into each
+    // of its 5 conjuncts — subexpression elimination cannot hoist
+    // conditionally-evaluated CASE branches, so the derivation ran
+    // ~6x per row (measured: derive-only 0.36 s warm, derive+filter
+    // 1.88 s at sf0.1). An identity udf marked nondeterministic pins
+    // the title to ONE evaluation per row; the function is pure, so
+    // every value (and the oracle hash) is unchanged.
+    "crawl_postprocess" -> ((s, d) => {
+      val once = udf((t: String) => t).asNondeterministic()
+      val ann = deriveAnnouncements(s, d).withColumn("title", once(col("title")))
+      Report.postprocessStage1(ann, TargetYears)
+    }),
 
     // A1: first-wins URL-seen semantics on a dup-heavy stream.
     "crawl_seen_firstwins" -> ((s, d) => {
